@@ -1,0 +1,252 @@
+"""Golden tests for the pure-Python extraction kernels.
+
+Fixture HTML is hand-written to exercise every XPath in the reference config
+(/root/reference/config/configs/1900comvn.yml:7-36) including fallback,
+missing-field, href-vs-text, whitespace and positional-predicate edge cases
+(FIXTURES.md §5).  Expected values are hand-derived from the documented
+reference semantics, NOT computed by the code under test.
+"""
+
+import pytest
+
+from pcrawler_spark.html import parse_html, xpath
+from pcrawler_spark.kernels import (
+    canonicalize_url,
+    extract_company_details,
+    extract_company_links,
+    extract_emails,
+    extract_pagination_links,
+    extract_text,
+    normalize_phone,
+    split_phones,
+    url_host,
+)
+from pcrawler_spark.kernels.links import build_page_url, page_number
+
+DETAIL_HTML = """
+<html><body>
+<h1 class="company-detail-name"> <span>  Công ty TNHH Ví dụ </span><span>extra</span></h1>
+<div class="box-body">
+  <div class="item"><div class="desc">  12 Lê Lợi, Quận 1, TP.HCM </div></div>
+  <div class="item"><div class="desc">WRONG second item</div></div>
+</div>
+<div class="box-caption"><p>
+  <a href="tel:+84283829xxxx"> 028 3829 xxxx </a>
+  <a href="https://vidu.example.vn/home">vidu.example.vn</a>
+</p></div>
+<div class="company-subdetail">
+  <div class="company-subdetail-info"><span>A</span><span>WRONG first info</span></div>
+  <div class="company-subdetail-info"><span>Quy mô</span><span>100-499 nhân viên</span></div>
+</div>
+<ul class="company-details">
+  <li><label>Thành lập</label><span> 2012 </span></li>
+  <li><label>Ngành</label><a href="/nganh/abc">Nhà hàng / Khách sạn</a></li>
+  <li><label>Doanh thu</label><span>10-50 tỷ</span></li>
+</ul>
+<div class="social-media-container">
+  <a href="https://facebook.com/vidu">fb</a>
+  <a href="https://linkedin.com/company/vidu">in</a>
+  <a href="https://tiktok.com/@vidu">tt</a>
+</div>
+</body></html>
+"""
+
+FALLBACK_HTML = """
+<html><body>
+<h1 class="company-detail-name"><span>Fallback Co</span></h1>
+<ul class="company-details">
+  <li><label>Trụ sở chính</label><span>99 Trần Hưng Đạo, Hà Nội</span></li>
+</ul>
+</body></html>
+"""
+
+
+class TestDetailsExtraction:
+    def test_all_fields(self):
+        rec = extract_company_details(DETAIL_HTML, company_url="https://1900.com.vn/x-tong-quan.html")
+        assert rec["company_name"] == "Công ty TNHH Ví dụ"
+        assert rec["address"] == "12 Lê Lợi, Quận 1, TP.HCM"
+        assert rec["phone"] == "028 3829 xxxx"  # text_content, stripped
+        assert rec["website"] == "https://vidu.example.vn/home"  # href, not text
+        assert rec["facebook"] == "https://facebook.com/vidu"  # href field
+        assert rec["linkedin"] == "in"  # text_content field, NOT href
+        assert rec["created_year"] == "2012"
+        assert rec["industry"] == "Nhà hàng / Khách sạn"
+        assert rec["revenue"] == "10-50 tỷ"
+        assert rec["scale"] == "100-499 nhân viên"
+        assert rec["youtube"] is None
+        assert rec["instagram"] is None
+        assert rec["company_url"] == "https://1900.com.vn/x-tong-quan.html"
+
+    def test_linkedin_is_text_not_href(self):
+        # only website/facebook take href (company_details_extractor.py:85-89);
+        # linkedin/tiktok/etc fall through to text_content
+        rec = extract_company_details(DETAIL_HTML)
+        assert rec["linkedin"] == "in"
+        assert rec["tiktok"] == "tt"
+
+    def test_address_fallback_fires(self):
+        rec = extract_company_details(FALLBACK_HTML)
+        assert rec["address"] == "99 Trần Hưng Đạo, Hà Nội"
+        assert rec["company_name"] == "Fallback Co"
+        assert rec["website"] is None
+
+    def test_positional_predicate_is_per_parent(self):
+        # //div[@class='item'][1] must pick the FIRST item, not the second
+        rec = extract_company_details(DETAIL_HTML)
+        assert "WRONG" not in (rec["address"] or "")
+        assert "WRONG" not in (rec["scale"] or "")
+
+    def test_unparseable_html(self):
+        rec = extract_company_details(None, company_name="X", company_url="u")
+        assert rec["company_name"] == "X"
+        assert all(rec[f] is None for f in rec if f not in ("company_name", "company_url"))
+        rec2 = extract_company_details("", company_name="Y")
+        assert rec2["address"] is None
+
+    def test_bytes_input(self):
+        rec = extract_company_details(DETAIL_HTML.encode("utf-8"))
+        assert rec["address"] == "12 Lê Lợi, Quận 1, TP.HCM"
+
+
+class TestXPathSemantics:
+    def test_contains_text_vietnamese(self):
+        root = parse_html("<ul class='company-details'><li><label>Thành lập năm</label><span>2001</span></li></ul>")
+        nodes = xpath(root, "//ul[contains(@class,'company-details')]//li[label[contains(text(),'Thành lập')]]/span")
+        assert len(nodes) == 1 and nodes[0].text_content() == "2001"
+
+    def test_positional_second(self):
+        root = parse_html(
+            "<div class='company-subdetail x'><div class='company-subdetail-info'><span>a</span><span>b</span></div>"
+            "<div class='company-subdetail-info'><span>c</span><span>d</span></div></div>"
+        )
+        nodes = xpath(root, "//div[contains(@class,'company-subdetail')]//div[contains(@class,'company-subdetail-info')][2]//span[2]")
+        assert [n.text_content() for n in nodes] == ["d"]
+
+    def test_starts_with_href(self):
+        root = parse_html("<div class='box-caption'><p><a href='tel:123'>t</a><a href='http://x'>w</a></p></div>")
+        assert xpath(root, "//div[@class='box-caption']/p//a[starts-with(@href,'http')]")[0].get("href") == "http://x"
+
+    def test_attr_tail(self):
+        root = parse_html("<div><a href='u1'>1</a><a>2</a><a href='u3'>3</a></div>")
+        assert xpath(root, "//a/@href") == ["u1", "u3"]
+
+    def test_document_order_and_dedup(self):
+        root = parse_html("<div><div><span>1</span></div><span>2</span></div>")
+        assert [n.text_content() for n in xpath(root, "//span")] == ["1", "2"]
+
+
+class TestEmails:
+    def test_basic_and_invalid(self):
+        html = (
+            "<p>Contact: sales@vidu.vn or SUPPORT@vidu.corp.vn.</p>"
+            "<p>noreply@vidu.vn no-reply@x.vn info@example.com bot@12.34</p>"
+        )
+        # example.com / noreply / no-reply / numeric-domain all rejected
+        # (email_extractor.py:29); sorted ascii order puts uppercase first
+        assert extract_emails(html) == ["SUPPORT@vidu.corp.vn", "sales@vidu.vn"]
+
+    def test_duplicates_and_sorting(self):
+        html = "a@b.vn a@b.vn c@d.com"
+        assert extract_emails(html) == ["a@b.vn", "c@d.com"]
+
+    def test_empty(self):
+        assert extract_emails("<p>no emails here</p>") == []
+        assert extract_emails(None) == []
+
+    def test_bytes(self):
+        assert extract_emails(b"x@y.vn") == ["x@y.vn"]
+
+
+class TestText:
+    def test_skips_script_style_and_strips(self):
+        html = "<html><head><style>.a{}</style><script>var x=1;</script></head><body><p> A </p><div>B<span>C</span></div></body></html>"
+        assert extract_text(html) == "A\nB\nC"
+
+    def test_empty(self):
+        assert extract_text("") == ""
+        assert extract_text(None) == ""
+
+
+class TestLinks:
+    LISTING = (
+        "<ul><li class='page-item'><a class='page-link' href='?page=1'>1</a></li>"
+        "<li class='page-item'><a class='page-link' href='?page=2'>2</a></li></ul>"
+        "<div><a href='/cong-ty/a-tong-quan.html'>A</a>"
+        "<a href='/cong-ty/b-tong-quan.html'>B</a>"
+        "<a href='/cong-ty/a-tong-quan.html'>A again</a>"
+        "<a href='/other.html'>other</a></div>"
+    )
+
+    def test_company_links_first_wins(self):
+        assert extract_company_links(self.LISTING) == [
+            "/cong-ty/a-tong-quan.html",
+            "/cong-ty/b-tong-quan.html",
+        ]
+
+    def test_pagination(self):
+        assert extract_pagination_links(self.LISTING) == ["?page=1", "?page=2"]
+
+    def test_page_number(self):
+        assert page_number("https://x/y?page=7") == 7
+        assert page_number("https://x/y/3") == 3
+        assert page_number("https://x/y") is None
+
+    def test_build_page_url(self):
+        assert build_page_url("https://x/list.html", 2) == "https://x/list.html?page=2"
+        assert build_page_url("https://x/list.html?page=2", 5) == "https://x/list.html?page=5"
+
+
+class TestUrlNorm:
+    def test_scheme_added(self):
+        assert canonicalize_url("www.x.vn/a") == "https://www.x.vn/a"
+
+    def test_invalid(self):
+        assert canonicalize_url("N/A") is None
+        assert canonicalize_url("") is None
+        assert canonicalize_url(None) is None
+        assert canonicalize_url("ftp://x.vn/a") is None
+
+    def test_canonical_forms(self):
+        assert canonicalize_url("HTTPS://X.VN:443/a#frag") == "https://x.vn/a"
+        assert canonicalize_url("http://x.vn:8080/") == "http://x.vn:8080/"
+        assert canonicalize_url("https://x.vn") == "https://x.vn/"
+        assert canonicalize_url(" https://x.vn/a?q=1 ") == "https://x.vn/a?q=1"
+
+    def test_host(self):
+        assert url_host("https://Sub.X.vn/a") == "sub.x.vn"
+
+
+class TestPhones:
+    def test_nine_digit_mobile(self):
+        assert normalize_phone("912345678") == "+84912345678"
+
+    def test_leading_zero_mobile(self):
+        assert normalize_phone("0912 345 678") == "+84912345678"
+        assert normalize_phone("0329999999") == "+84329999999"
+
+    def test_hanoi_landline(self):
+        assert normalize_phone("02438221234") == "+842438221234"
+
+    def test_bare_84(self):
+        assert normalize_phone("84912345678") == "+84912345678"
+
+    def test_plus84_valid(self):
+        assert normalize_phone("+84912345678") == "+84912345678"
+
+    def test_international_passthrough(self):
+        assert normalize_phone("+14155552671") == "+14155552671"
+
+    def test_junk(self):
+        assert normalize_phone("abc") is None
+        assert normalize_phone("") is None
+        assert normalize_phone(None) is None
+        assert normalize_phone("12345") is None
+
+    def test_split_multi(self):
+        assert split_phones("0912345678; 0329999999 / junk") == ["+84912345678", "+84329999999"]
+
+    def test_split_separator_tiers(self):
+        # '-' is a separator tier, so '091-234-5678' splits then re-merges nothing:
+        # each piece is too short -> dropped
+        assert split_phones("0912345678|+14155552671") == ["+84912345678", "+14155552671"]
