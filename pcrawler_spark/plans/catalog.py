@@ -1,0 +1,120 @@
+"""Epoch-atomic parquet table catalog (Iceberg-style snapshot semantics).
+
+The north_rule calls for Iceberg tables; this sandbox has no Iceberg runtime
+jar, so this layer provides the same *semantics* over plain parquet — and is
+the seam where a real Iceberg catalog plugs in (`spark.jars.packages` +
+``MERGE INTO`` replacing the manifest dance):
+
+* every table is append-only, laid out as ``<root>/<table>/epoch=<k>/``;
+* one *crawl epoch* commits several tables (records, seen, frontier,
+  checkpoints) **atomically**: all parquet writes happen first, then a single
+  manifest file ``<root>/_commits/epoch_<k>.json`` is created via
+  write-tmp + ``os.rename`` (atomic on POSIX).  Readers only see epochs with
+  a manifest, so a crash between table writes can never double-count —
+  exactly the reference's UNIQUE-constraint effective-exactly-once
+  (db_manager.py:119-128) without in-place mutation (SURVEY.md §7.4.3);
+* resume = ``last_committed_epoch() + 1``; a partially-written epoch is
+  overwritten by the re-run (mode=overwrite per epoch dir is idempotent).
+
+Epoch partition pruning: reads filter on the ``epoch`` partition column, so
+"latest state" queries never scan historic epochs' data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Iterable, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class EpochCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # ---- commit protocol -------------------------------------------------
+
+    def _epoch_dir(self, table: str, epoch: int) -> str:
+        return os.path.join(self.root, table, f"epoch={epoch}")
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.root, "_commits", f"epoch_{epoch:06d}.json")
+
+    def write_epoch(self, epoch: int, tables: Mapping[str, DataFrame],
+                    metadata: Optional[dict] = None) -> None:
+        """Write all tables for one epoch, then atomically commit."""
+        written = {}
+        for name, df in tables.items():
+            path = self._epoch_dir(name, epoch)
+            df.write.mode("overwrite").parquet(path)
+            written[name] = path
+        manifest = {
+            "epoch": epoch,
+            "tables": written,
+            "committed_at_unix": time.time(),
+            "metadata": metadata or {},
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_commits"), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(epoch))  # atomic commit point
+
+    def committed_epochs(self) -> list[int]:
+        d = os.path.join(self.root, "_commits")
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("epoch_") and name.endswith(".json"):
+                out.append(int(name[len("epoch_"):-len(".json")]))
+        return sorted(out)
+
+    def last_committed_epoch(self) -> int:
+        eps = self.committed_epochs()
+        return eps[-1] if eps else -1
+
+    def manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    def rollback_uncommitted(self) -> None:
+        """Remove epoch dirs newer than the last commit (crash cleanup)."""
+        last = self.last_committed_epoch()
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table.startswith("_") or not os.path.isdir(tdir):
+                continue
+            for part in os.listdir(tdir):
+                if part.startswith("epoch="):
+                    k = int(part.split("=", 1)[1])
+                    if k > last:
+                        shutil.rmtree(os.path.join(tdir, part))
+
+    # ---- read paths ------------------------------------------------------
+
+    def read(self, table: str, upto_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        """All committed rows of a table (union of committed epochs).
+
+        Uses basePath-style partition discovery so ``epoch`` appears as a
+        column and partition pruning applies when callers filter on it."""
+        committed = set(self.committed_epochs())
+        if upto_epoch is not None:
+            committed = {e for e in committed if e <= upto_epoch}
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return None
+        dirs = [
+            os.path.join(tdir, d)
+            for d in sorted(os.listdir(tdir))
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) in committed
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.option("basePath", tdir).parquet(*dirs)
+
+    def exists(self, table: str) -> bool:
+        return self.read(table) is not None

@@ -9,8 +9,29 @@ the session timezone is pinned to UTC so DuckDB oracle comparisons are exact.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package so executors can import it regardless of the
+    driver's cwd — the local-mode equivalent of ``spark-submit --py-files``
+    (north_rule deployment shape).  Cached per process."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "pcrawler_spark_pyfiles.zip")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, out)
+    return out
 
 
 def get_spark(
@@ -43,4 +64,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
     return spark

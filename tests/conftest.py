@@ -1,0 +1,15 @@
+import pytest
+
+from pcrawler_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="pcrawler_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()
