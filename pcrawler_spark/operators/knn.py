@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: queries × corpus dot
+  products as JVM-side ``zip_with``/``aggregate`` higher-order functions
+  (no UDF), ranked per query.  Cosines are computed in double and rounded
+  before ranking so results are stable across engines.
+* IVF (inverted-file) top-k — the scale path: k-means-style coarse cells
+  (here: per-label centroids, or hash-assigned cells), queries probe only
+  the nearest ``n_probe`` cells.  Cuts the candidate set by the cell fan-in
+  — on a 1000-executor cluster the cell assignment is the shuffle key, so
+  each query touches a few partitions instead of the whole corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_dp: int = 6) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank, cos).
+
+    Self-matches are excluded.  Ranking uses the rounded cosine with
+    neighbor-id tiebreak, making the output deterministic and portable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_build(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+              cell_col: str = "label") -> DataFrame:
+    """Coarse-cell centroids (here cells = the given column; a k-means step
+    would produce the same shape).  Returns (cell, centroid array<double>)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    exploded = corpus.select(
+        F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    return (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cell", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cell_col: str = "label") -> DataFrame:
+    """ANN: probe the n_probe nearest cells only, exact rank within them."""
+    cents = ivf_build(corpus, id_col, vec_col, cell_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", F.round(cosine_similarity_col("qv", "centroid"), 6))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        probes.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_similarity_col("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

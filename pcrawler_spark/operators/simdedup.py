@@ -1,0 +1,159 @@
+"""Near-duplicate detection operators for web-text corpora.
+
+Deduplication families a 100 TB training-data pipeline needs, each expressed
+as shuffled-join DataFrame plans (no Python in the hot path):
+
+* exact dedup — md5 fingerprint groupBy (portable across engines);
+* n-gram Jaccard — shingle explode → inverted-index self-join → pair
+  agreement counts → Jaccard ≥ τ.  The shingle join IS the candidate
+  generator: only pairs sharing ≥1 shingle are ever materialized;
+* MinHash + LSH — k portable hash functions (md5-derived, identical in
+  Spark and DuckDB), banded; candidates = pairs agreeing on any band.
+  Scales as O(docs × k) + a band-key equi-join instead of O(docs²);
+* SimHash — 32-bit sign-aggregated token hashes; near-dups = pairs with
+  small Hamming distance among prefix-bucket candidates.
+
+All hashes derive from md5 so the DuckDB oracle can reproduce results
+bit-for-bit:  H(s) = int(hex(md5(s))[:8], 16)  (fits in a long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint
+
+
+def _h32(col):
+    """Portable 32-bit hash: first 8 hex chars of md5 as an integer.
+    Spark: conv(substr(md5(x),1,8),16,10); DuckDB: ('0x'||substr)::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: fp, count, min id kept."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    words = F.split(F.trim(F.col(text_col)), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Plan: doc → distinct shingles (map-side) → explode → self equi-join on
+    shingle (inverted index) → count common per pair → Jaccard against the
+    per-doc shingle counts.  One wide shuffle on the shingle key; hot
+    shingles can be frequency-capped upstream at larger scale.
+    """
+    sh = df.select(F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh"))
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc", F.explode("sh").alias("shingle"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 8,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """doc → (seed, minhash) rows using the portable md5-derived hash."""
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    hashed = sh.select(
+        "doc",
+        seeds,
+        "shingle",
+    ).withColumn("h", _h32(F.concat_ws("|", F.col("seed"), F.col("shingle"))))
+    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: agree on all rows of ≥1 LSH band."""
+    sig = minhash_signatures(df, n_hashes, id_col, text_col, n)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))).alias("rows"))
+        .withColumn("band_key", F.concat_ws("_", "rows"))
+        .drop("rows")
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "band_key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per token the portable hash votes ±1 on each bit."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("tok"),
+    ).withColumn("h", _h32(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sh = None
+    for k in range(bits):
+        term = F.when(F.col(f"v{k}") > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+        sh = term if sh is None else (sh + term)
+    return agg.select("doc", sh.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs among prefix-bucket candidates (top-16-bit bucket
+    equality prunes the quadratic join; exact Hamming filter after)."""
+    sh = simhash(df, id_col, text_col).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 16)
+    )
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), on="bucket")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "hamming")
+    )
