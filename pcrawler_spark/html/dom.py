@@ -45,16 +45,24 @@ class Element:
         return self.attrs.get(name, default)
 
     def iter(self):
-        """Yield self and all descendant elements in document order."""
-        yield self
-        for c in self.children:
-            if isinstance(c, Element):
-                yield from c.iter()
+        """Yield self and all descendant elements in document order
+        (iterative — recursion via yield-from costs a frame per level)."""
+        stack = [self]
+        while stack:
+            el = stack.pop()
+            yield el
+            stack.extend(
+                c for c in reversed(el.children) if isinstance(c, Element)
+            )
 
     def iter_descendants(self):
-        for c in self.children:
-            if isinstance(c, Element):
-                yield from c.iter()
+        stack = [c for c in reversed(self.children) if isinstance(c, Element)]
+        while stack:
+            el = stack.pop()
+            yield el
+            stack.extend(
+                c for c in reversed(el.children) if isinstance(c, Element)
+            )
 
     def child_elements(self):
         return [c for c in self.children if isinstance(c, Element)]

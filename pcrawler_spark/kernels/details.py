@@ -98,14 +98,18 @@ def extract_company_details(
     html: Union[str, bytes, None],
     company_name: Optional[str] = None,
     company_url: Optional[str] = None,
+    root: Optional[Element] = None,
 ) -> Dict[str, Optional[str]]:
     """Extract the 14-field company record from one detail page.
 
     ``company_name``/``company_url`` are carried through when provided (the
     reference receives them from the link-collection phase); when absent the
     name is extracted from the page's h1 (the reference collects it from the
-    same node during phase 1, list_crawler.py selector usage)."""
-    root = parse_html(html)
+    same node during phase 1, list_crawler.py selector usage).  Pass ``root``
+    to reuse an already-parsed DOM (the fused extract stage parses once and
+    shares it across the detail/text/link kernels)."""
+    if root is None:
+        root = parse_html(html)
     rec: Dict[str, Optional[str]] = {f: None for f in DETAIL_FIELDS}
     rec["company_url"] = company_url
     if root is not None:

@@ -22,8 +22,9 @@ _PAGE_NUM_RE = re.compile(r"(\d+)\s*$")
 _PAGE_PARAM_RE = re.compile(r"page=(\d+)")
 
 
-def extract_company_links(html: Union[str, bytes, None]) -> List[str]:
-    root = parse_html(html)
+def extract_company_links(html: Union[str, bytes, None], root=None) -> List[str]:
+    if root is None:
+        root = parse_html(html)
     if root is None:
         return []
     seen = set()
@@ -37,8 +38,9 @@ def extract_company_links(html: Union[str, bytes, None]) -> List[str]:
     return out
 
 
-def extract_pagination_links(html: Union[str, bytes, None]) -> List[str]:
-    root = parse_html(html)
+def extract_pagination_links(html: Union[str, bytes, None], root=None) -> List[str]:
+    if root is None:
+        root = parse_html(html)
     if root is None:
         return []
     seen = set()

@@ -35,8 +35,9 @@ def _walk(el: Element, out: list[str]) -> None:
             _walk(c, out)
 
 
-def extract_text(html: Union[str, bytes, None]) -> str:
-    root = parse_html(html)
+def extract_text(html: Union[str, bytes, None], root: Element | None = None) -> str:
+    if root is None:
+        root = parse_html(html)
     if root is None:
         return ""
     parts: list[str] = []

@@ -49,3 +49,17 @@ def dedup_keep_last(df: DataFrame, keys: Sequence[str], order_col: str,
 def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Any-winner distinct per key (reference in-memory set semantics, D1)."""
     return df.dropDuplicates(list(keys))
+
+
+def dedup_keep_first_agg(df: DataFrame, key: str, order_cols: Sequence[str],
+                         payload_cols: Sequence[str]) -> DataFrame:
+    """Keep-first as an aggregation: ``min(struct(order..., payload...))``
+    per key.  Same winner as the window form (struct ordering is
+    lexicographic over the order columns) but partial-aggregatable —
+    map-side combine, no per-key sort — so it's the hot-path variant for
+    the frontier dedup where dup rates are low."""
+    w = F.min(F.struct(*[F.col(c) for c in order_cols],
+                       *[F.col(c) for c in payload_cols])).alias("_w")
+    out = df.groupBy(key).agg(w)
+    cols = [F.col(key)] + [F.col(f"_w.{c}").alias(c) for c in list(order_cols) + list(payload_cols)]
+    return out.select(*cols)

@@ -73,12 +73,27 @@ def politeness_schedule(
             * F.coalesce(F.col("max_parallel"), F.lit(DEFAULT_MAX_PARALLEL)),
         )
     ).cast("long")
+    allowed = allowed.withColumn("_budget", budget)
+
+    # Fast path: a host whose pending count fits its budget needs no ranking
+    # at all.  Only over-budget hosts pay the per-host sort — crucial on a
+    # Zipf frontier where the mega-host's window would otherwise be one
+    # serial multi-hundred-MB sort task regardless of cluster size.
+    host_counts = allowed.groupBy("host").agg(F.count("*").alias("_n_pending"))
+    # no broadcast hint: AQE broadcasts when the distinct-host count is small
+    # and falls back to a shuffle join at 10^7-host scale
+    allowed = allowed.join(host_counts, on="host", how="left")
+    under = allowed.filter(F.col("_n_pending") <= F.col("_budget"))
+    over = allowed.filter(F.col("_n_pending") > F.col("_budget"))
     w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
-    ranked = allowed.withColumn("_rank", F.row_number().over(w)).withColumn("_budget", budget)
-    scheduled = ranked.filter(F.col("_rank") <= F.col("_budget"))
-    deferred = ranked.filter(F.col("_rank") > F.col("_budget"))
-    drop = ["_path", "_disallowed", "_rank", "_budget", "crawl_delay_s", "max_parallel", "robots_disallow"]
-    return scheduled.drop(*drop), deferred.drop(*drop), disallowed.drop(*drop)
+    ranked = over.withColumn("_rank", F.row_number().over(w))
+    drop = ["_path", "_disallowed", "_rank", "_budget", "_n_pending",
+            "crawl_delay_s", "max_parallel", "robots_disallow"]
+    scheduled = under.drop(*drop).unionByName(
+        ranked.filter(F.col("_rank") <= F.col("_budget")).drop(*drop)
+    )
+    deferred = ranked.filter(F.col("_rank") > F.col("_budget")).drop(*drop)
+    return scheduled, deferred, disallowed.drop(*drop)
 
 
 def salted_repartition(

@@ -1,0 +1,132 @@
+"""Fused schedule→extract single pass — the steady-state benchmark unit.
+
+One epoch of the crawl engine, expressed as ONE job with a single fused
+``mapInPandas`` extraction stage: every page row crosses the Arrow boundary
+exactly once and is dispatched to the right kernel (details/emails/links) by
+its URL kind inside the batch.  This is the per-URL work that dominates at
+10^10 scale; fixed per-epoch driver costs are excluded, so throughput here
+is what actually scales with executors.
+
+Used by bench.py to evidence the N→4N scaling criterion (same job at
+local[8] and local[32]).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import with_url_hash
+from ..operators.dedup import dedup_keep_first_agg
+from ..operators.politeness import politeness_schedule, salted_repartition
+
+EXTRACT_ALL_SCHEMA = (
+    "url_hash long, canon_url string, kind string, url_type string, "
+    "company_name string, address string, phone string, website string, "
+    "facebook string, linkedin string, tiktok string, youtube string, "
+    "instagram string, industry string, created_year string, revenue string, "
+    "scale string, emails array<string>, out_links array<string>, text string"
+)
+
+_DETAIL_COLS = [
+    "company_name", "address", "phone", "website", "facebook", "linkedin",
+    "tiktok", "youtube", "instagram", "industry", "created_year", "revenue",
+    "scale",
+]
+
+
+def _extract_batch(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    # imports inside: runs on executors via the shipped package zip
+    from ..html import parse_html
+    from ..kernels import (
+        extract_company_details,
+        extract_company_links,
+        extract_emails,
+        extract_text,
+    )
+    from ..kernels.links import extract_pagination_links
+
+    for pdf in batches:
+        out = {c: [] for c in ("url_hash", "canon_url", "kind", "url_type",
+                               *_DETAIL_COLS, "emails", "out_links", "text")}
+        for h, url, kind, url_type, html in zip(
+            pdf["url_hash"], pdf["canon_url"], pdf["kind"], pdf["url_type"], pdf["html"]
+        ):
+            out["url_hash"].append(h)
+            out["canon_url"].append(url)
+            out["kind"].append(kind)
+            out["url_type"].append(url_type)
+            emails, links = None, None
+            fields = {c: None for c in _DETAIL_COLS}
+            root = parse_html(html)  # parsed ONCE, shared by all kernels
+            if kind == "detail":
+                rec = extract_company_details(html, company_url=url, root=root)
+                for c in _DETAIL_COLS:
+                    fields[c] = rec[c]
+                links = [u for u in (rec["website"], rec["facebook"]) if u]
+            elif kind == "contact":
+                emails = extract_emails(html, url_type or "website")
+            else:  # listing
+                links = extract_company_links(html, root=root) + extract_pagination_links(html, root=root)
+            for c in _DETAIL_COLS:
+                out[c].append(fields[c])
+            out["emails"].append(emails)
+            out["out_links"].append(links)
+            # the byte-identity invariant: re-derived page text for every url
+            out["text"].append(extract_text(html, root=root))
+        yield pd.DataFrame(out)
+
+
+def classify_urls(df: DataFrame, directory_host: str = "1900.example.vn") -> DataFrame:
+    is_detail = F.col("canon_url").contains("-tong-quan")
+    is_listing = F.col("host") == F.lit(directory_host)
+    return df.withColumn(
+        "kind",
+        F.when(is_detail, "detail").when(is_listing, "listing").otherwise("contact"),
+    ).withColumn(
+        "url_type",
+        F.when(F.col("kind") != "contact", F.lit(None).cast("string"))
+        .when(F.col("host").contains("facebook.com"), "facebook")
+        .otherwise("website"),
+    )
+
+
+def schedule_and_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    hosts: DataFrame,
+    epoch_seconds: float = 1e9,
+    directory_host: str = "1900.example.vn",
+) -> DataFrame:
+    """The full steady-state pass: canonicalize+hash → keep-oldest dedup →
+    politeness/robots schedule → fused extract.
+
+    Shuffle discipline (the 100 TB concern): the dedup window and the
+    politeness rank run on a NARROW projection (hash/host/ts — ~40 bytes/row)
+    so the wide ``html`` payload is never shuffled; the scheduled key set is
+    budget-bounded and broadcast back onto the page scan, which therefore
+    streams file-split-parallel straight into the Arrow extraction stage.
+    (First version shuffled html through both windows — 8× slower and it
+    inverted the N→4N scaling.)"""
+    idx = with_url_hash(pages, "url")
+    meta = idx.select("url_hash", "canon_url", "host", "warc_ts")
+    winners = dedup_keep_first_agg(
+        meta, "url_hash", ["warc_ts", "canon_url"], ["host"]
+    )
+    frontier = classify_urls(winners, directory_host).withColumn(
+        "priority",
+        F.when(F.col("kind") == "listing", 0).when(F.col("kind") == "detail", 1).otherwise(2),
+    ).withColumn("retry_count", F.lit(0))
+    scheduled, _deferred, _disallowed = politeness_schedule(
+        frontier, hosts, epoch_seconds=epoch_seconds
+    )
+    keys = scheduled.select("url_hash", "warc_ts", "kind", "url_type")
+    fetched = idx.select("url_hash", "canon_url", "warc_ts", "html").join(
+        F.broadcast(keys), on=["url_hash", "warc_ts"], how="inner"
+    )
+    return fetched.select(
+        "url_hash", "canon_url", "kind", "url_type", "html"
+    ).mapInPandas(_extract_batch, EXTRACT_ALL_SCHEMA)

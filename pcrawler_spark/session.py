@@ -21,15 +21,17 @@ def _package_zip() -> str:
     (north_rule deployment shape).  Cached per process."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "pcrawler_spark_pyfiles.zip")
-    if not os.path.exists(out):
-        tmp = out + ".tmp"
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        sources.extend(os.path.join(root, fn) for fn in files if fn.endswith(".py"))
+    newest = max(os.path.getmtime(p) for p in sources)
+    # rebuild when any source is newer — a stale zip silently breaks
+    # executors that don't share the driver's sys.path (local-cluster mode)
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+        tmp = out + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
         os.replace(tmp, out)
     return out
 
@@ -56,10 +58,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # moderate heap beats a huge one here: with 48g+, G1 pauses on
+        # humongous binary-column allocations cost ~2× on the extract stage
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CPU-bound Arrow extraction stages want splits sized for cores, not
+        # for IO; 8 MB keeps the extract stage many-waves-wide so the last
+        # wave tail is short (34 tasks on 32 slots = a 50% tail)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
+    # register at startup (works for local-cluster executors too) and again
+    # dynamically for sessions created through a pre-existing context
+    builder = builder.config("spark.submit.pyFiles", _package_zip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

