@@ -366,6 +366,40 @@ def q31_embedding_centroids(spark, sf):
     )
 
 
+def q37_sequence_gaps(spark, sf):
+    """F7: per-group missing-page detection (pagination-gap validator);
+    gaps injected by dropping linenumber 2."""
+    from pcrawler_spark.operators.qualitygate import sequence_gaps
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") != 2)
+    return sequence_gaps(li, "l_orderkey", "l_linenumber")
+
+
+def q38_na_density(spark, sf):
+    """F6: N/A-density row filter over a deterministically NA-injected set."""
+    from pcrawler_spark.operators.qualitygate import na_density_filter
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("f1"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("N/A")).otherwise(F.col("c_mktsegment")).alias("f2"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("")).otherwise(F.col("c_acctbal").cast("string")).alias("f3"),
+    )
+    return na_density_filter(c, ["f1", "f2", "f3"], threshold=0.5).select("c_custkey", "f1", "f2", "f3")
+
+
+def q39_sanitize_names(spark, sf):
+    """X5: the reference's name sanitizer as codegen regexp chain."""
+    from pcrawler_spark.operators.qualitygate import sanitize_name_col
+
+    p = _t(spark, sf, "part")
+    return (
+        p.select(sanitize_name_col(F.col("p_type")).alias("stype"))
+        .groupBy("stype")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # crawl-pipeline queries (synthetic pages input → rows-only checks)
 # --------------------------------------------------------------------------
@@ -484,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_politeness_schedule": q34_politeness_schedule,
         "q35_phone_normalize": q35_phone_normalize,
         "q36_multimodal_features": q36_multimodal_features,
+        "q37_sequence_gaps": q37_sequence_gaps,
+        "q38_na_density": q38_na_density,
+        "q39_sanitize_names": q39_sanitize_names,
     }
 
 
@@ -775,6 +812,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, i AS pos, ROUND(AVG(embedding[i + 1]), 6) AS c
             FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
             GROUP BY label, i
+        """,
+        "q37_sequence_gaps": """
+            WITH obs AS (
+              SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber <> 2
+            ), agg AS (
+              SELECT l_orderkey, MAX(l_linenumber) AS mx,
+                     list(DISTINCT l_linenumber) AS seen
+              FROM obs GROUP BY l_orderkey
+            )
+            SELECT l_orderkey,
+                   unnest(list_filter(range(1, mx + 1), x -> NOT list_contains(seen, x))) AS missing
+            FROM agg
+        """,
+        "q38_na_density": """
+            WITH c AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS f1,
+                     CASE WHEN c_custkey % 2 = 0 THEN 'N/A' ELSE c_mktsegment END AS f2,
+                     CASE WHEN c_custkey % 5 = 0 THEN '' ELSE CAST(c_acctbal AS VARCHAR) END AS f3
+              FROM customer
+            )
+            SELECT c_custkey, f1, f2, f3 FROM c
+            WHERE ((CASE WHEN f1 IS NULL OR f1 IN ('', 'N/A', 'n/a') THEN 1 ELSE 0 END)
+                 + (CASE WHEN f2 IS NULL OR f2 IN ('', 'N/A', 'n/a') THEN 1 ELSE 0 END)
+                 + (CASE WHEN f3 IS NULL OR f3 IN ('', 'N/A', 'n/a') THEN 1 ELSE 0 END)) / 3.0 <= 0.5
+        """,
+        "q39_sanitize_names": r"""
+            SELECT stype, COUNT(*) AS n FROM (
+              SELECT trim(
+                       regexp_replace(
+                         regexp_replace(p_type, '[^\w\s-]', '_', 'g'),
+                         '[-\s]+', '_', 'g'),
+                       '_') AS stype
+              FROM part
+            ) GROUP BY stype
         """,
         # q30/q32-q36: no SQL oracle (ANN probe choice / pandas-UDF extraction
         # over synthetic pages / phone + multimodal kernels) → rows-only.

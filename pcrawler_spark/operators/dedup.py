@@ -55,9 +55,10 @@ def dedup_keep_first_agg(df: DataFrame, key: str, order_cols: Sequence[str],
                          payload_cols: Sequence[str]) -> DataFrame:
     """Keep-first as an aggregation: ``min(struct(order..., payload...))``
     per key.  Same winner as the window form (struct ordering is
-    lexicographic over the order columns) but partial-aggregatable —
-    map-side combine, no per-key sort — so it's the hot-path variant for
-    the frontier dedup where dup rates are low."""
+    lexicographic over the order columns) but partial-aggregatable:
+    Spark plans it as partial+final SortAggregate around a single exchange
+    (struct min is sort-based) — map-side combine shrinks the shuffle,
+    unlike the window form which shuffles every row then sorts per key."""
     w = F.min(F.struct(*[F.col(c) for c in order_cols],
                        *[F.col(c) for c in payload_cols])).alias("_w")
     out = df.groupBy(key).agg(w)

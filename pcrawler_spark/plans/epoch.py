@@ -73,6 +73,12 @@ class CrawlRunConfig:
     max_retries: int = 4
     simulate_flaky_rate: float = 0.0   # deterministic first-attempt failures
     num_partitions: int | None = None
+    # circuit breaker (reference: app/utils/circuit_breaker.py:52-92 —
+    # CLOSED/OPEN/HALF_OPEN per resource): a host with ≥ threshold failures
+    # in an epoch is OPEN (skipped) for the next `cooldown` epochs, then
+    # half-open (scheduled again)
+    breaker_threshold: int = 3
+    breaker_cooldown_epochs: int = 1
 
 
 class CrawlEngine:
@@ -148,9 +154,32 @@ class CrawlEngine:
             pending, self.hosts, epoch_seconds=cfgc.epoch_seconds,
             order_cols=("priority", "retry_count", "url_hash"),
         )
+
+        # circuit breaker: hosts that tripped in the cooldown window are
+        # OPEN — their urls sit out this epoch (stay pending, no seen rows)
+        breaker = self.catalog.read("breaker")
+        n_breaker_deferred = 0
+        if breaker is not None and cfgc.breaker_threshold > 0:
+            open_hosts = (
+                breaker.drop("epoch")
+                .filter(
+                    (F.col("n_failures") >= cfgc.breaker_threshold)
+                    & (F.col("fail_epoch") >= epoch - cfgc.breaker_cooldown_epochs)
+                )
+                .select("host").distinct()
+            )
+            tripped = scheduled.join(F.broadcast(open_hosts), on="host", how="left_semi")
+            n_breaker_deferred = tripped.count()
+            if n_breaker_deferred:
+                scheduled = scheduled.join(F.broadcast(open_hosts), on="host", how="left_anti")
         scheduled = scheduled.persist()
         n_scheduled = scheduled.count()
         n_disallowed = disallowed.count()
+        if n_scheduled == 0 and n_breaker_deferred == 0 and n_disallowed == 0:
+            # nothing schedulable and nothing that will unblock by waiting
+            pending.unpersist()
+            scheduled.unpersist()
+            return None
 
         # deterministic flaky-fetch simulation: fail first attempts by hash
         if cfgc.simulate_flaky_rate > 0:
@@ -243,7 +272,13 @@ class CrawlEngine:
         # retried rows go back to the frontier with demoted order
         retries = None
         n_failed = 0
+        breaker_rows = None
         if failed_now is not None:
+            breaker_rows = (
+                failed_now.groupBy("host")
+                .agg(F.count("*").alias("n_failures"))
+                .withColumn("fail_epoch", F.lit(epoch))
+            )
             retries = failed_now.select(
                 "url_hash", "canon_url", "host", "kind", "url_type",
                 "priority", "depth", "industry", "company_name",
@@ -272,6 +307,7 @@ class CrawlEngine:
             "disallowed": n_disallowed,
             "fetched": n_fetched,
             "failed_flaky": n_failed,
+            "breaker_deferred": n_breaker_deferred,
             "records_out": n_records,
         }
         checkpoint = self.spark.createDataFrame(
@@ -282,17 +318,16 @@ class CrawlEngine:
             "disallowed long, fetched long, failed long, records_out long, "
             "wall_ms long, lineage string",
         )
-        self.catalog.write_epoch(
-            epoch,
-            {
-                "records": records_out,
-                "emails": emails,
-                "seen": seen_rows,
-                "frontier": new_frontier,
-                "checkpoints": checkpoint,
-            },
-            metadata=metrics,
-        )
+        tables = {
+            "records": records_out,
+            "emails": emails,
+            "seen": seen_rows,
+            "frontier": new_frontier,
+            "checkpoints": checkpoint,
+        }
+        if breaker_rows is not None:
+            tables["breaker"] = breaker_rows
+        self.catalog.write_epoch(epoch, tables, metadata=metrics)
         metrics["wall_ms"] = int((time.time() - t0) * 1000)
         pending.unpersist()
         scheduled.unpersist()
@@ -353,3 +388,12 @@ class CrawlEngine:
             F.col("url_type").alias("email_source"),
         ).filter(F.col("company_name").isNotNull())
         return export_contacts(company_details, detail_pages, email_extraction)
+
+    def export_csv(self, path: str, max_na_ratio: float = 0.7) -> None:
+        """Final CSV sink (reference tasks.py:773-786 fixed-column-order CSV)
+        with the N/A-density row gate applied (merge_files.py:50-76)."""
+        from ..operators.export import EXPORT_COLUMNS
+        from ..operators.qualitygate import na_density_filter
+
+        df = na_density_filter(self.export(), EXPORT_COLUMNS, max_na_ratio)
+        df.write.mode("overwrite").option("header", True).csv(path)
