@@ -191,7 +191,7 @@ def q13_topk_per_group(spark, sf):
     o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rank", F.row_number().over(w))
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "rank", F.round("o_totalprice", 2).alias("totalprice"))
     )
@@ -361,7 +361,7 @@ def q31_embedding_centroids(spark, sf):
     e = _t(spark, sf, "embeddings")
     return (
         e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
-        .groupBy("label", "pos")
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg("v"), 6).alias("c"))
     )
 
@@ -549,7 +549,7 @@ def _simhash_sql(max_doc: int, max_hamming: int) -> str:
       SELECT doc, simhash, simhash >> 16 AS bucket FROM sh
     )
     SELECT a.doc AS doc_a, bb.doc AS doc_b,
-           bit_count(xor(a.simhash, bb.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
     FROM b a JOIN b bb USING (bucket)
     WHERE a.doc < bb.doc AND bit_count(xor(a.simhash, bb.simhash)) <= {max_hamming}
     """

@@ -52,7 +52,7 @@ def sequence_gaps(df: DataFrame, group_col: str, seq_col: str) -> DataFrame:
             F.array_except(F.sequence(F.lit(1), F.col("_mx")), F.col("_seen")),
         )
         .filter(F.size("missing") > 0)
-        .select(group_col, F.explode("missing").alias("missing"))
+        .select(group_col, F.explode(F.col("missing").cast("array<long>")).alias("missing"))
     )
 
 

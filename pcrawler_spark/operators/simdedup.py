@@ -152,7 +152,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
         .filter(F.col("a.doc") < F.col("b.doc"))
         .withColumn(
             "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "hamming")

@@ -29,7 +29,7 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), " "))
+        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
     )
 
 
