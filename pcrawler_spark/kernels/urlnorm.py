@@ -32,16 +32,18 @@ def canonicalize_url(url: Optional[str]) -> Optional[str]:
         u = "https://" + u  # detail_crawler.py:24-25
     try:
         parts = urlsplit(u)
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https"):
+            return None
+        host = parts.hostname
+        if not host:
+            return None
+        host = host.lower()
+        # .port/.hostname raise ValueError on malformed netlocs (e.g. '0::',
+        # found by fuzzing) — keep them inside the guard
+        port = parts.port
     except ValueError:
         return None
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https"):
-        return None
-    host = parts.hostname
-    if not host:
-        return None
-    host = host.lower()
-    port = parts.port
     if port and not ((scheme == "http" and port == 80) or (scheme == "https" and port == 443)):
         netloc = f"{host}:{port}"
     else:
