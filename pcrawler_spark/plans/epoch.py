@@ -30,13 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.udfs import (
-    extract_details_udf,
-    extract_emails_udf,
-    extract_links_udf,
-    extract_pagination_udf,
-    with_url_hash,
-)
+from ..functions.udfs import with_url_hash
+from .singlepass import fused_extract
 from ..operators.dedup import dedup_keep_first, dedup_keep_last
 from ..operators.politeness import politeness_schedule
 from ..operators.seen import anti_join_seen
@@ -197,65 +192,52 @@ class CrawlEngine:
         # budget-bounded → broadcast it, never shuffle the page store
         att_sel = attempt.select(
             "url_hash", "kind", "url_type", "priority", "depth",
-            "industry", "company_name", "retry_count",
+            F.col("industry").alias("seed_industry"),
+            F.col("company_name").alias("seed_company_name"),
+            "retry_count",
         )
-        fetched = self.pages_idx.join(F.broadcast(att_sel), on="url_hash", how="inner").persist()
-        n_fetched = fetched.count()
-        missing = att_sel.join(fetched.select("url_hash"), "url_hash", "left_anti")
+        fetched = self.pages_idx.join(F.broadcast(att_sel), on="url_hash", how="inner")
+        # ONE fused Arrow pass: shared DOM parse feeds detail/email/link/text
+        # kernels per url kind; frontier metadata rides through as passthrough
+        ext = fused_extract(
+            fetched,
+            passthrough={
+                "host": "string", "lang": "string", "warc_ts": "timestamp",
+                "seed_industry": "string", "seed_company_name": "string",
+                "depth": "int",
+            },
+        ).persist()
+        n_fetched = ext.count()
+        missing = att_sel.join(ext.select("url_hash"), "url_hash", "left_anti")
 
-        # ---- extract by kind (each branch scans only its slice) ----
-        details = (
-            fetched.filter(F.col("kind") == "detail")
-            .withColumn("rec", extract_details_udf("html"))
-            .select(
-                "url_hash", "canon_url", "host", "lang", "warc_ts",
-                F.col("industry").alias("seed_industry"), "rec.*",
-            )
-            .withColumn("epoch_fetched", F.lit(epoch))
-            .persist()
-        )
-
-        emails = (
-            fetched.filter(F.col("kind") == "contact")
-            .withColumn("emails", extract_emails_udf("html", "url_type"))
-            .select(
-                "url_hash", "canon_url", "url_type", "company_name", "emails",
-                F.when(F.size("emails") > 0, F.lit(0.9)).otherwise(F.lit(0.0)).alias("confidence_score"),
-                F.lit(epoch).alias("epoch_fetched"),
-            )
+        details = ext.filter(F.col("kind") == "detail").select(
+            "url_hash", "canon_url", "host", "lang", "warc_ts", "seed_industry",
+            "company_name", "address", "phone", "website", "facebook",
+            "linkedin", "tiktok", "youtube", "instagram", "industry",
+            "created_year", "revenue", "scale", "text",
+            F.lit(epoch).alias("epoch_fetched"),
         )
 
-        # listing pages expand both company links and pagination links
-        # (reference: list_crawler.py:342-394 + its ?page=N loop :330-340)
-        listing_links = (
-            fetched.filter(F.col("kind") == "listing")
-            .withColumn(
-                "out_url",
-                F.explode(F.concat(extract_links_udf("html"), extract_pagination_udf("html"))),
-            )
+        emails = ext.filter(F.col("kind") == "contact").select(
+            "url_hash", "canon_url", "url_type",
+            F.col("seed_company_name").alias("company_name"), "emails",
+            F.when(F.size("emails") > 0, F.lit(0.9)).otherwise(F.lit(0.0)).alias("confidence_score"),
+            F.lit(epoch).alias("epoch_fetched"),
+        )
+
+        # frontier expansion: listing pages yield company + pagination links
+        # (list_crawler.py:342-394, :330-340), detail pages yield their
+        # website/facebook contact urls
+        new_links = (
+            ext.filter(F.size(F.coalesce("out_links", F.array())) > 0)
             .select(
-                F.col("out_url").alias("url"),
+                F.explode("out_links").alias("url"),
                 (F.col("depth") + 1).alias("depth"),
-                "industry",
-                F.lit(None).cast("string").alias("company_name"),
-            )
-        )
-        detail_links = (
-            details
-            .withColumn(
-                "out_url",
-                F.explode(
-                    F.filter(F.array("website", "facebook"), lambda x: x.isNotNull()),
-                ),
-            )
-            .select(
-                F.col("out_url").alias("url"),
-                (F.lit(2)).alias("depth"),
                 F.col("seed_industry").alias("industry"),
-                F.col("company_name"),
+                F.when(F.col("kind") == "detail", F.col("company_name"))
+                .otherwise(F.lit(None).cast("string")).alias("company_name"),
             )
         )
-        new_links = listing_links.unionByName(detail_links)
         # priority is a pure function of kind — listings drain before details
         # before contacts, mirroring the reference's phase order (main.py:661-697)
         new_frontier = self._classify(with_url_hash(new_links, "url")).select(
@@ -290,12 +272,12 @@ class CrawlEngine:
 
         # seen = fetched ∪ disallowed ∪ missing (never re-scheduled)
         seen_rows = (
-            fetched.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("fetched").alias("reason"))
+            ext.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("fetched").alias("reason"))
             .unionByName(disallowed.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("disallowed").alias("reason")))
             .unionByName(missing.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("missing").alias("reason")))
         )
 
-        records_out = details.drop("html")
+        records_out = details
         n_records = records_out.count()
         n_deferred = deferred.count()
 
@@ -331,8 +313,7 @@ class CrawlEngine:
         metrics["wall_ms"] = int((time.time() - t0) * 1000)
         pending.unpersist()
         scheduled.unpersist()
-        fetched.unpersist()
-        details.unpersist()
+        ext.unpersist()
         return metrics
 
     # ---- full run / resume -------------------------------------------------

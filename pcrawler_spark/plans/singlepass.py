@@ -80,6 +80,27 @@ def _extract_batch(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def fused_extract(df: DataFrame, passthrough: dict[str, str] | None = None) -> DataFrame:
+    """Run the fused extraction over a DataFrame that has (url_hash,
+    canon_url, kind, url_type, html) plus optional passthrough columns
+    (name → spark type) that are echoed into the output unchanged — used by
+    the epoch engine to carry frontier metadata (industry, depth, ...)
+    through the single Arrow crossing."""
+    passthrough = passthrough or {}
+    base_cols = ["url_hash", "canon_url", "kind", "url_type", "html"]
+    cols = base_cols + list(passthrough)
+    schema = EXTRACT_ALL_SCHEMA + "".join(f", {c} {t}" for c, t in passthrough.items())
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            for out in _extract_batch([pdf[base_cols]]):
+                for c in passthrough:
+                    out[c] = pdf[c].to_numpy()
+                yield out
+
+    return df.select(*cols).mapInPandas(run, schema)
+
+
 def classify_urls(df: DataFrame, directory_host: str = "1900.example.vn") -> DataFrame:
     is_detail = F.col("canon_url").contains("-tong-quan")
     is_listing = F.col("host") == F.lit(directory_host)

@@ -131,6 +131,20 @@ def test_records_byte_identical_to_truth(run_result, corpus):
             )
 
 
+def test_engine_text_byte_identity(run_result, corpus):
+    """The engine's records carry the re-extracted page text; it must equal
+    the corpus's expected text byte-for-byte (the BASELINE invariant,
+    verified through the full engine, not just the kernel)."""
+    engine, _ = run_result
+    recs = engine.records().select("canon_url", "text").toPandas()
+    expected = {
+        canonicalize_url(u): t for u, t in zip(corpus["pages"].url, corpus["pages"].text)
+    }
+    assert len(recs) > 0
+    for r in recs.itertuples():
+        assert r.text == expected[r.canon_url], r.canon_url
+
+
 def test_emails_match_truth(run_result, corpus):
     engine, _ = run_result
     truth = corpus["truth"]
