@@ -105,6 +105,10 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
         schedule_and_extract(spark, pages, hosts).count()
         walls = []
         for _ in range(3):
+            # GC debt from the previous pass otherwise leaks into this one
+            # (observed 2-3x wall variance without it)
+            spark._jvm.System.gc()
+            time.sleep(0.5)
             t0 = time.time()
             n = schedule_and_extract(spark, pages, hosts).count()
             walls.append(time.time() - t0)
