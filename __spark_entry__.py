@@ -326,7 +326,7 @@ def q26_ngram_jaccard(spark, sf):
     from pcrawler_spark.operators.simdedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
-    return ngram_jaccard_pairs(d, threshold=0.12)
+    return ngram_jaccard_pairs(d, threshold=0.12, max_shingle_df=100)
 
 
 def q27_minhash_lsh(spark, sf):
@@ -398,6 +398,54 @@ def q39_sanitize_names(spark, sf):
         .groupBy("stype")
         .agg(F.count("*").alias("n"))
     )
+
+
+def q40_error_url_filter(spark, sf):
+    """X11: the reference's error-URL heuristic (main.py:59-66) over a
+    deterministically error-injected URL column."""
+    from pcrawler_spark.operators.qualitygate import error_url_filter
+
+    o = _t(spark, sf, "orders")
+    url = F.concat(
+        F.lit("https://dir.example.vn/company/"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("/404"))
+        .when(F.col("o_orderkey") % 17 == 0, F.lit("?status=timeout"))
+        .when(F.col("o_orderkey") % 19 == 0, F.lit("/not-found"))
+        .otherwise(F.lit("")),
+    )
+    df = o.select("o_orderkey", url.alias("url"))
+    return error_url_filter(df, "url", keep="errors")
+
+
+# q41 fixture rows: small literal groups exercising every completeness branch
+# (the >1000-link "large industry" group is range-generated on both sides)
+_Q41_SMALL_ROWS = (
+    [("ind_gap", f"https://d.vn/i1?page={p}&c={i}") for p in (1, 2, 4) for i in range(8)]
+    + [("ind_density", f"https://d.vn/i2?page={p}&c={i}") for p in (1, 2, 3, 4, 5) for i in range(4)]
+    + [("ind_errors", f"https://d.vn/i3?page={p}&c={i}" + ("/404" if i % 4 == 0 else ""))
+       for p in (1, 2) for i in range(12)]
+    + [("ind_small", f"https://d.vn/i4?page=1&c={i}") for i in range(10)]
+    + [("ind_complete", f"https://d.vn/i6?page={p}&c={i}") for p in (1, 2, 3) for i in range(20)]
+)
+
+
+def q41_checkpoint_completeness(spark, sf):
+    """F7 in full: pagination gaps + link density + error rate + size
+    heuristics (main.py:19-77) over a fixture exercising every branch."""
+    from pcrawler_spark.operators.qualitygate import checkpoint_completeness
+
+    small = spark.createDataFrame(_Q41_SMALL_ROWS, "grp string, url string")
+    large = (
+        spark.range(0, 51)
+        .crossJoin(spark.range(1, 21).withColumnRenamed("id", "p"))
+        .select(
+            F.lit("ind_large").alias("grp"),
+            F.concat(F.lit("https://d.vn/i5?page="), F.col("p").cast("string"),
+                     F.lit("&c="), F.col("id").cast("string")).alias("url"),
+        )
+    )
+    return checkpoint_completeness(small.unionByName(large), "grp", "url")
 
 
 # --------------------------------------------------------------------------
@@ -521,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_sequence_gaps": q37_sequence_gaps,
         "q38_na_density": q38_na_density,
         "q39_sanitize_names": q39_sanitize_names,
+        "q40_error_url_filter": q40_error_url_filter,
+        "q41_checkpoint_completeness": q41_checkpoint_completeness,
     }
 
 
@@ -529,10 +579,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 def _simhash_sql(max_doc: int, max_hamming: int) -> str:
+    from pcrawler_spark.operators.simdedup import simhash_blocks
+
     votes = ",\n      ".join(
         f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(32)
     )
     bits = " + ".join(f"(CASE WHEN v{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(32))
+    # pigeonhole banding (exact recall): same block layout as the operator
+    blocks = simhash_blocks(32, max_hamming)
+    blk_vals = ", ".join(f"({i})" for i in range(len(blocks)))
+    blk_case = " ".join(
+        f"WHEN {i} THEN (simhash >> {off}) & {(1 << w) - 1}"
+        for i, (off, w) in enumerate(blocks)
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id AS doc, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
@@ -546,11 +605,12 @@ def _simhash_sql(max_doc: int, max_hamming: int) -> str:
     ), sh AS (
       SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM agg
     ), b AS (
-      SELECT doc, simhash, simhash >> 16 AS bucket FROM sh
+      SELECT doc, simhash, blk, CASE blk {blk_case} END AS val
+      FROM sh, (VALUES {blk_vals}) AS t(blk)
     )
-    SELECT a.doc AS doc_a, bb.doc AS doc_b,
+    SELECT DISTINCT a.doc AS doc_a, bb.doc AS doc_b,
            CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
-    FROM b a JOIN b bb USING (bucket)
+    FROM b a JOIN b bb USING (blk, val)
     WHERE a.doc < bb.doc AND bit_count(xor(a.simhash, bb.simhash)) <= {max_hamming}
     """
 
@@ -567,6 +627,55 @@ _SHINGLE_CTE = """
       FROM w
     )
 """
+
+
+def _q41_sql() -> str:
+    values = ",\n              ".join(f"('{g}', '{u}')" for g, u in _Q41_SMALL_ROWS)
+    return f"""
+        WITH small(grp, url) AS (VALUES
+              {values}),
+        large AS (
+          SELECT 'ind_large' AS grp,
+                 'https://d.vn/i5?page=' || CAST(p AS VARCHAR) || '&c=' || CAST(i AS VARCHAR) AS url
+          FROM range(0, 51) t(i), range(1, 21) s(p)
+        ),
+        inp AS (SELECT * FROM small UNION ALL SELECT * FROM large),
+        flagged AS (
+          SELECT grp,
+                 CASE WHEN regexp_extract(url, 'page=(\\d+)', 1) <> ''
+                      THEN CAST(regexp_extract(url, 'page=(\\d+)', 1) AS INT) END AS page,
+                 CASE WHEN regexp_matches(lower(url), 'error|404|not-found|timeout|failed')
+                      THEN 1 ELSE 0 END AS err
+          FROM inp
+        ),
+        agg AS (
+          SELECT grp, COUNT(*) AS n_links, MAX(page) AS mx,
+                 list(DISTINCT page) FILTER (WHERE page IS NOT NULL) AS pages,
+                 SUM(err) AS n_error_links
+          FROM flagged GROUP BY grp
+        ),
+        scored AS (
+          SELECT grp, n_links,
+                 CAST(len(pages) AS BIGINT) AS n_pages,
+                 CAST(CASE WHEN mx IS NOT NULL
+                      THEN len(list_filter(range(1, mx + 1), x -> NOT list_contains(pages, x)))
+                      ELSE 0 END AS BIGINT) AS n_missing_pages,
+                 CAST(n_error_links AS BIGINT) AS n_error_links
+          FROM agg
+        )
+        SELECT grp, n_links, n_pages, n_missing_pages, n_error_links,
+               CASE WHEN n_missing_pages > 0 THEN 'missing_pages'
+                    WHEN n_pages > 0 AND n_links / n_pages < 5 THEN 'low_link_density'
+                    WHEN n_error_links > n_links * 0.1 THEN 'high_error_rate'
+                    WHEN n_links < 20 THEN 'small_industry'
+                    WHEN n_links > 1000 THEN 'large_industry'
+                    ELSE 'complete' END AS reason,
+               CASE WHEN n_missing_pages > 0 THEN FALSE
+                    WHEN n_pages > 0 AND n_links / n_pages < 5 THEN FALSE
+                    WHEN n_error_links > n_links * 0.1 THEN FALSE
+                    ELSE TRUE END AS complete
+        FROM scored
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -763,7 +872,13 @@ def oracle_sql() -> dict[str, str]:
         "q26_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE.format(max_doc=500)},
             sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
-            inv AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+            inv0 AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+            inv AS (
+              SELECT doc, shingle FROM (
+                SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS sdf
+                FROM inv0
+              ) WHERE sdf <= 100
+            ),
             common AS (
               SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
               FROM inv a JOIN inv b USING (shingle)
@@ -787,11 +902,12 @@ def oracle_sql() -> dict[str, str]:
             sig AS (SELECT doc, seed, MIN(h) AS minhash FROM seeded GROUP BY doc, seed),
             bands AS (
               SELECT doc, CAST(seed // 2 AS INT) AS band,
-                     string_agg(seed || ':' || minhash, '_' ORDER BY seed) AS band_key
+                     MIN(CASE WHEN seed % 2 = 0 THEN minhash END) AS mh_0,
+                     MIN(CASE WHEN seed % 2 = 1 THEN minhash END) AS mh_1
               FROM sig GROUP BY doc, CAST(seed // 2 AS INT)
             )
             SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-            FROM bands a JOIN bands b USING (band, band_key)
+            FROM bands a JOIN bands b USING (band, mh_0, mh_1)
             WHERE a.doc < b.doc
         """,
         "q28_simhash_pairs": _simhash_sql(max_doc=300, max_hamming=4),
@@ -848,6 +964,20 @@ def oracle_sql() -> dict[str, str]:
               FROM part
             ) GROUP BY stype
         """,
+        "q40_error_url_filter": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     'https://dir.example.vn/company/' || CAST(o_orderkey AS VARCHAR) ||
+                     CASE WHEN o_orderkey % 13 = 0 THEN '/404'
+                          WHEN o_orderkey % 17 = 0 THEN '?status=timeout'
+                          WHEN o_orderkey % 19 = 0 THEN '/not-found'
+                          ELSE '' END AS url
+              FROM orders
+            )
+            SELECT o_orderkey, url FROM u
+            WHERE regexp_matches(lower(url), 'error|404|not-found|timeout|failed')
+        """,
+        "q41_checkpoint_completeness": _q41_sql(),
         # q30/q32-q36: no SQL oracle (ANN probe choice / pandas-UDF extraction
         # over synthetic pages / phone + multimodal kernels) → rows-only.
     }

@@ -82,8 +82,9 @@ def canon_url_col(url_col) -> Column:
     hot-path variant of kernels.urlnorm.canonicalize_url; parity asserted in
     tests/test_udfs.py).  Rules: trim; null for ''/N/A/no-host; add https://
     when scheme missing; lowercase scheme+host; drop fragment and default
-    port; empty path → '/'.  (Userinfo/IPv6 hosts fall outside the crawl
-    corpus contract; the Python kernel handles them for completeness.)"""
+    port; empty path → '/'.  Userinfo URLs ('user@host') are outside the
+    crawl-corpus contract and are rejected (null) on BOTH paths, so url_hash
+    and host can never silently diverge between the JVM and Python twins."""
     raw = F.trim(url_col if isinstance(url_col, Column) else F.col(url_col))
     # fast path: one gate regex recognizes already-canonical URLs (lowercase
     # scheme+host, a path, no fragment/port) — the overwhelming majority of a
@@ -108,7 +109,7 @@ def canon_url_col(url_col) -> Column:
     pathq = F.when(pathq == "", F.lit("/")).when(
         pathq.startswith("?"), F.concat(F.lit("/"), pathq)
     ).otherwise(pathq)
-    valid = scheme.isin("http", "https") & (host != "")
+    valid = scheme.isin("http", "https") & (host != "") & ~hostport.contains("@")
     slow = F.when(
         u.isNotNull() & valid, F.concat(scheme, F.lit("://"), netloc, pathq)
     ).otherwise(F.lit(None).cast("string"))

@@ -35,6 +35,11 @@ def canonicalize_url(url: Optional[str]) -> Optional[str]:
         scheme = parts.scheme.lower()
         if scheme not in ("http", "https"):
             return None
+        # userinfo URLs ('user@host') are outside the crawl-corpus contract:
+        # reject them outright so the JVM twin (functions/udfs.py) and this
+        # kernel agree by rejection instead of diverging on the host
+        if "@" in parts.netloc:
+            return None
         host = parts.hostname
         if not host:
             return None

@@ -63,7 +63,6 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
               cell_col: str = "label") -> DataFrame:
     """Coarse-cell centroids (here cells = the given column; a k-means step
     would produce the same shape).  Returns (cell, centroid array<double>)."""
-    dim = len(corpus.select(vec_col).first()[0])
     exploded = corpus.select(
         F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col).cast("array<double>"))
     )

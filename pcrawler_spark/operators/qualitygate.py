@@ -10,6 +10,12 @@
 * ``sanitize_name_col`` — the reference's industry-name sanitizer
   (tasks.py:104-107): non-word chars → ``_``, runs of ``-``/space → ``_``,
   strip ``_``.
+* ``error_url_flag`` — the reference's error-URL heuristic (X11,
+  app/main.py:59-66): URL whose lowercase form contains any of
+  ``error|404|not-found|timeout|failed``.
+* ``checkpoint_completeness`` — the full F7 validator (app/main.py:19-77):
+  per group, pagination gaps, link density ≥5/page, error-URL rate ≤10%,
+  and the small/large size heuristics, in the reference's check order.
 """
 
 from __future__ import annotations
@@ -53,6 +59,76 @@ def sequence_gaps(df: DataFrame, group_col: str, seq_col: str) -> DataFrame:
         )
         .filter(F.size("missing") > 0)
         .select(group_col, F.explode(F.col("missing").cast("array<long>")).alias("missing"))
+    )
+
+
+ERROR_URL_MARKERS = ["error", "404", "not-found", "timeout", "failed"]
+
+
+def error_url_flag(url_col: Column) -> Column:
+    """X11 (app/main.py:59-66): ``any(marker in url.lower() ...)`` — plain
+    substring containment, expressed as one codegen'd rlike (the markers
+    contain no regex metacharacters, so rlike == substring search)."""
+    return F.lower(url_col).rlike("|".join(ERROR_URL_MARKERS))
+
+
+def error_url_filter(df: DataFrame, url_col: str = "canon_url",
+                     keep: str = "clean") -> DataFrame:
+    """Drop (keep='clean') or select (keep='errors') error-marker URLs."""
+    flag = error_url_flag(F.col(url_col))
+    return df.filter(~flag if keep == "clean" else flag)
+
+
+def checkpoint_completeness(df: DataFrame, group_col: str,
+                            url_col: str = "url") -> DataFrame:
+    """F7 in full (app/main.py:19-77): per group, emit
+    (group, n_links, n_pages, n_missing_pages, n_error_links, complete, reason)
+    applying the reference's checks in order:
+
+    1. pagination gaps (missing ``page=N`` between 1..max) → incomplete;
+    2. link density: links/page < 5 → incomplete;
+    3. error-URL rate > 10% → incomplete;
+    4. < 20 links → complete ("small industry");
+    5. > 1000 links → complete ("large industry");
+    6. otherwise complete.
+
+    One shuffle (groupBy), all checks as aggregate expressions."""
+    page = F.regexp_extract(F.col(url_col), r"page=(\d+)", 1)
+    flagged = df.select(
+        F.col(group_col).alias("grp"),
+        F.when(page != "", page.cast("int")).alias("_page"),
+        error_url_flag(F.col(url_col)).cast("int").alias("_err"),
+    )
+    agg = flagged.groupBy("grp").agg(
+        F.count("*").alias("n_links"),
+        F.max("_page").alias("_mx"),
+        F.collect_set("_page").alias("_pages"),
+        F.sum("_err").alias("n_error_links"),
+    )
+    n_pages = F.size(F.array_distinct("_pages"))
+    missing = F.when(
+        F.col("_mx").isNotNull(),
+        F.size(F.array_except(F.sequence(F.lit(1), F.col("_mx")), F.col("_pages"))),
+    ).otherwise(F.lit(0))
+    density_low = (n_pages > 0) & ((F.col("n_links") / n_pages) < 5)
+    error_high = F.col("n_error_links") > F.col("n_links") * 0.1
+    out = agg.select(
+        F.col("grp").alias(group_col),
+        "n_links",
+        n_pages.cast("long").alias("n_pages"),
+        missing.cast("long").alias("n_missing_pages"),
+        F.col("n_error_links").cast("long").alias("n_error_links"),
+        F.when(missing > 0, F.lit("missing_pages"))
+        .when(density_low, F.lit("low_link_density"))
+        .when(error_high, F.lit("high_error_rate"))
+        .when(F.col("n_links") < 20, F.lit("small_industry"))
+        .when(F.col("n_links") > 1000, F.lit("large_industry"))
+        .otherwise(F.lit("complete"))
+        .alias("reason"),
+    )
+    return out.withColumn(
+        "complete",
+        ~F.col("reason").isin("missing_pages", "low_link_density", "high_error_rate"),
     )
 
 

@@ -53,17 +53,34 @@ def _shingles(text_col: str, n: int = 3):
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3) -> DataFrame:
+                        n: int = 3, max_shingle_df: int | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
     Plan: doc → distinct shingles (map-side) → explode → self equi-join on
     shingle (inverted index) → count common per pair → Jaccard against the
-    per-doc shingle counts.  One wide shuffle on the shingle key; hot
-    shingles can be frequency-capped upstream at larger scale.
+    per-doc shingle counts.  One wide shuffle on the shingle key.
+
+    ``max_shingle_df`` is the hot-shingle document-frequency cap: a shingle
+    appearing in more than that many docs (a stop-word trigram at corpus
+    scale) is dropped from the inverted index BEFORE the self-join — without
+    it one hot key makes the join quadratic at 100 TB.  The cap is computed
+    with a window count over the same shingle partitioning the join needs,
+    so it costs no extra shuffle (the exchange is reused).  Denominator
+    sizes stay full-set, so capped pairs can only under-estimate Jaccard
+    (standard recall/cost trade, never a false positive).
     """
     sh = df.select(F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh"))
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     inv = sh.select("doc", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        inv = (
+            inv.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     common = (
         inv.alias("a")
         .join(inv.alias("b"), on="shingle")
@@ -100,18 +117,26 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8,
 def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
                            id_col: str = "doc_id", text_col: str = "text",
                            n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs: agree on all rows of ≥1 LSH band."""
+    """Candidate near-dup pairs: agree on all rows of ≥1 LSH band.
+
+    The band key is NUMERIC: the band's ``band_rows`` minhashes are pivoted
+    into per-slot long columns (mh_0..mh_{r-1}) and the band equi-join runs
+    on (band, mh_0, ..) — collision-free and ~half the shuffle bytes of the
+    earlier string-concatenated key."""
     sig = minhash_signatures(df, n_hashes, id_col, text_col, n)
+    slot_cols = [
+        F.min(F.when(F.col("seed") % band_rows == r, F.col("minhash"))).alias(f"mh_{r}")
+        for r in range(band_rows)
+    ]
     bands = (
         sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
         .groupBy("doc", "band")
-        .agg(F.array_sort(F.collect_list(F.concat_ws(":", "seed", "minhash"))).alias("rows"))
-        .withColumn("band_key", F.concat_ws("_", "rows"))
-        .drop("rows")
+        .agg(*slot_cols)
     )
+    join_keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
     return (
         bands.alias("a")
-        .join(bands.alias("b"), on=["band", "band_key"])
+        .join(bands.alias("b"), on=join_keys)
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
@@ -139,21 +164,52 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return agg.select("doc", sh.cast("long").alias("simhash"))
 
 
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """Pigeonhole block layout: (offset, width) for ``max_hamming + 1``
+    near-equal blocks covering ``bits`` bits.  Any pair with ≤ max_hamming
+    differing bits must agree exactly on at least one block."""
+    n_blocks = max_hamming + 1
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs among prefix-bucket candidates (top-16-bit bucket
-    equality prunes the quadratic join; exact Hamming filter after)."""
-    sh = simhash(df, id_col, text_col).withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 16)
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bits: int = 32) -> DataFrame:
+    """ALL pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidate generation is pigeonhole multi-block banding: the ``bits``-bit
+    simhash is split into ``max_hamming + 1`` blocks; a pair within the
+    Hamming budget has at most ``max_hamming`` differing bits, so some block
+    carries zero of them and the pair collides on that block's equi-join key
+    (exact recall, unlike a single prefix bucket which silently drops pairs
+    whose differing bits land in the prefix).  One explode (×(h+1) rows) +
+    one equi-join on (block_id, block_value), exact Hamming filter after,
+    distinct to collapse multi-block agreements."""
+    sh = simhash(df, id_col, text_col, bits)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+        )
+        for i, (off, w) in enumerate(simhash_blocks(bits, max_hamming))
+    ])
+    keyed = sh.select("doc", "simhash", F.explode(blocks).alias("b")).select(
+        "doc", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
     return (
-        sh.alias("a")
-        .join(sh.alias("b"), on="bucket")
+        keyed.alias("a")
+        .join(keyed.alias("b"), on=["blk", "val"])
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long"),
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "hamming")
+        .distinct()
     )

@@ -84,8 +84,11 @@ class CrawlEngine:
         self.catalog = EpochCatalog(spark, cfg.state_dir)
         self.hosts = hosts
         # index the page store once: canonical url + hash, keep-oldest per
-        # url (D2 dedup of duplicate captures), persisted across epochs
-        idx = with_url_hash(pages, "url")
+        # url (D2 dedup of duplicate captures), persisted across epochs.
+        # F5 validity gate (detail_crawler.py:39, contact_crawler.py:127):
+        # a fetch with ≤100 bytes of html is not a page — such URLs fall
+        # through to the 'missing' seen-reason instead of being extracted
+        idx = with_url_hash(pages.filter(F.length("html") > 100), "url")
         idx = dedup_keep_first(idx, ["url_hash"], "warc_ts", tiebreak=["canon_url"])
         self.pages_idx = idx.select("url_hash", "canon_url", "host", "html", "warc_ts", "lang").persist()
 

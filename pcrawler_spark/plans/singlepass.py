@@ -132,7 +132,9 @@ def schedule_and_extract(
     streams file-split-parallel straight into the Arrow extraction stage.
     (First version shuffled html through both windows — 8× slower and it
     inverted the N→4N scaling.)"""
-    idx = with_url_hash(pages, "url")
+    # F5 html-validity gate (detail_crawler.py:39): ≤100-byte pages are not
+    # real pages and never enter scheduling or extraction
+    idx = with_url_hash(pages.filter(F.length("html") > 100), "url")
     meta = idx.select("url_hash", "canon_url", "host", "warc_ts")
     winners = dedup_keep_first_agg(
         meta, "url_hash", ["warc_ts", "canon_url"], ["host"]

@@ -14,6 +14,9 @@ TRICKY = [
     "ftp://x.vn/a", "https://", "host.vn", "host.vn/path?a=1&b=2",
     "HTTP://UPPER.HOST.VN/MixedPath", "https://h.vn/päth/ü?q=v",
     "https://h.vn:65000/x", "https://h.vn?onlyquery=1",
+    # userinfo URLs: rejected (null) on BOTH paths — never divergent keys
+    "https://user@h.vn/x", "http://a:b@h.vn/", "user@h.vn/contact",
+    "https://h.vn/path@with@at", "https://@h.vn/",
 ]
 
 
