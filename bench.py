@@ -50,12 +50,21 @@ def _sf_value(sf_dir: str) -> float:
         return 0.0
 
 
+# bump when the synthetic generator changes — stale cached corpora otherwise
+# silently survive (_SUCCESS marker says nothing about generator content)
+_CORPUS_VERSION = 2
+
+
 def _bench_corpus_path(n_companies: int) -> str:
-    return os.path.join(REPO, ".bench", f"pages_{n_companies}")
+    return os.path.join(REPO, ".bench", f"pages_{n_companies}_v{_CORPUS_VERSION}")
 
 
 def ensure_corpus(spark, n_companies: int) -> str:
-    """Generate (once, cached as parquet) the bench crawl corpus."""
+    """Generate (once, cached as parquet) the bench crawl corpus.
+
+    Written as ~4 files per core: the CPU-bound Arrow extraction stage wants
+    several task waves so the last-wave straggler tail stays short — one
+    file split per core means one wave whose slowest task IS the wall."""
     from pcrawler_spark.sources.synthetic import SyntheticCrawlConfig, pages_spark_df
 
     path = _bench_corpus_path(n_companies)
@@ -66,7 +75,7 @@ def ensure_corpus(spark, n_companies: int) -> str:
             n_industries=88,
             n_hosts=max(50, n_companies // 500),
         )
-        pages_spark_df(spark, cfg).write.mode("overwrite").parquet(path)
+        pages_spark_df(spark, cfg, num_files=128).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -84,7 +93,7 @@ def hosts_df(spark, n_companies: int):
 
 
 def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
-                   cores_per_executor: int = 4) -> dict:
+                   cores_per_executor: int = 4, runs: int = 4) -> dict:
     """Fused schedule+extract pass on a local-cluster of real executor JVMs
     (separate heaps + python worker pools — the honest stand-in for N
     executors; local[N] threads share one JVM and understate scaling)."""
@@ -95,6 +104,16 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
         app_name=f"bench_scaling_{n_executors}x{cores_per_executor}",
         master=f"local-cluster[{n_executors},{cores_per_executor},4096]",
         shuffle_partitions=n_executors * cores_per_executor,
+        extra_conf={
+            # parquet splits have no locality in local-cluster; the default
+            # 3 s locality wait idles task slots between waves
+            "spark.locality.wait": "0",
+            # CPU-bound splits: ~2 MB keeps the extract stage several waves
+            # wide (straggler tail << wall); at the 10^10 design point real
+            # row-group sizes make this irrelevant
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+        },
     )
     try:
         pages = spark.read.parquet(corpus_path)
@@ -104,7 +123,7 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
         # footers — the steady state is what a long crawl actually runs at
         schedule_and_extract(spark, pages, hosts).count()
         walls = []
-        for _ in range(3):
+        for _ in range(runs):
             # GC debt from the previous pass otherwise leaks into this one
             # (observed 2-3x wall variance without it)
             spark._jvm.System.gc()
@@ -119,6 +138,71 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
                 "urls_per_sec": round(n / wall, 1)}
     finally:
         spark.stop()
+
+
+def raw_python_control(corpus_path: str, procs_levels=(4, 16), limit: int = 120_000) -> dict:
+    """No-Spark control: the SAME extraction kernels over the SAME pages via
+    multiprocessing.Pool at both core counts.  Whatever efficiency THIS loses
+    going N→4N is the host's shared-memory-bandwidth ceiling, not engine
+    overhead — a real 4N-executor cluster multiplies memory bandwidth with
+    nodes.  Emitted into the bench JSON so the ceiling claim is measured
+    inside the harness, not asserted."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(corpus_path, columns=["url", "html"])
+    urls = t.column("url").to_pylist()[:limit]
+    htmls = t.column("html").to_pylist()[:limit]
+    kinds = [
+        "detail" if "-tong-quan" in u else ("listing" if "/cong-ty-nganh-" in u else "contact")
+        for u in urls
+    ]
+    out = {}
+    for procs in procs_levels:
+        k = procs * 8
+        step = (len(urls) + k - 1) // k
+        chunks = [
+            (urls[i:i + step], htmls[i:i + step], kinds[i:i + step])
+            for i in range(0, len(urls), step)
+        ]
+        best = None
+        for _ in range(2):
+            with mp.Pool(procs) as pool:
+                t0 = time.time()
+                total = sum(pool.map(_raw_work, chunks))
+                wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        out[f"procs_{procs}"] = {
+            "procs": procs, "urls": total, "wall_s": round(best, 3),
+            "urls_per_sec": round(total / best, 1),
+        }
+    lo, hi = (out[f"procs_{p}"] for p in procs_levels)
+    ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
+    out["efficiency"] = round(ratio / (procs_levels[1] / procs_levels[0]), 3)
+    return out
+
+
+def _raw_work(args):
+    urls, htmls, kinds = args
+    from pcrawler_spark.html import parse_html
+    from pcrawler_spark.kernels import (
+        extract_company_details, extract_company_links, extract_emails, extract_text)
+    from pcrawler_spark.kernels.links import extract_pagination_links
+
+    n = 0
+    for url, html, kind in zip(urls, htmls, kinds):
+        root = parse_html(html)
+        if kind == "detail":
+            extract_company_details(html, company_url=url, root=root)
+        elif kind == "contact":
+            extract_emails(html, "website")
+        else:
+            extract_company_links(html, root=root)
+            extract_pagination_links(html, root=root)
+        extract_text(html, root=root)
+        n += 1
+    return n
 
 
 def main() -> None:
@@ -150,8 +234,13 @@ def main() -> None:
     hi = run_throughput(4, corpus_path, n_companies)
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
     efficiency = round(ratio / 4, 3)
+    # no-Spark control at the same two core counts: the host's own ceiling
+    raw = raw_python_control(corpus_path)
     scaling = {"low": lo, "high": hi, "speedup": round(ratio, 3),
-               "executor_ratio": 4, "efficiency": efficiency}
+               "executor_ratio": 4, "efficiency": efficiency,
+               "raw_control": raw,
+               "efficiency_vs_raw_ceiling": round(efficiency / raw["efficiency"], 3)
+               if raw.get("efficiency") else None}
 
     total = round(sum(results.values()) + hi["wall_s"], 3)
     payload = {
@@ -164,6 +253,8 @@ def main() -> None:
         "scaling": scaling,
     }
 
+    raw_lo = raw["procs_4"]
+    raw_hi = raw["procs_16"]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — engine-side numbers (written by bench.py)\n\n"
@@ -178,16 +269,20 @@ def main() -> None:
             f"| {hi['executors']}×4 | {hi['cores']} | {hi['wall_s']} | {hi['wall_spread_s']} | {hi['urls_per_sec']} |\n\n"
             f"Speedup {scaling['speedup']}× over a 4× executor ratio → "
             f"**measured scaling efficiency {efficiency}**.\n\n"
-            "### Decomposition (why the sandbox number understates a real cluster)\n\n"
-            "- The extraction stage itself runs at ~86% worker-busy with all task\n"
-            "  slots concurrently occupied (instrumented busy/span).\n"
-            "- This HOST caps 4→16-core scaling of the raw Python kernels (no Spark)\n"
-            "  at ~0.85 efficiency — shared memory bandwidth; a real 4N-executor\n"
-            "  cluster multiplies memory bandwidth with nodes.\n"
-            "- Residual fixed cost per job (~4-5 s: narrow scheduling chain,\n"
-            "  scheduled-key broadcast, stage barriers) amortizes with corpus size;\n"
-            "  at the 10^10-URL design point one epoch is minutes long and this cost\n"
-            "  vanishes (<1%).\n\n"
+            "### Host ceiling — measured, not asserted\n\n"
+            "Raw-Python no-Spark control (same kernels, same pages,\n"
+            "multiprocessing.Pool) at the same two core counts, run by this\n"
+            "same bench invocation:\n\n"
+            "| procs | wall (s) | URLs/s |\n|---|---|---|\n"
+            f"| 4 | {raw_lo['wall_s']} | {raw_lo['urls_per_sec']} |\n"
+            f"| 16 | {raw_hi['wall_s']} | {raw_hi['urls_per_sec']} |\n\n"
+            f"Raw 4→16 efficiency **{raw['efficiency']}** — the host's own\n"
+            "shared-memory-bandwidth ceiling with zero engine overhead; a real\n"
+            "4N-executor cluster multiplies memory bandwidth with nodes.\n"
+            f"Engine efficiency / raw ceiling = **{scaling['efficiency_vs_raw_ceiling']}**.\n\n"
+            "Remaining engine-side fixed cost per pass: the one-exchange scheduling\n"
+            "chain + scheduled-key broadcast (~2-3 s) — amortizes with epoch size;\n"
+            "at the 10^10-URL design point an epoch is minutes long (<1%).\n\n"
             "Reference comparison (BASELINE.md): pcrawler extracts ~3-5 rec/s/worker "
             f"(per-row Python); this engine sustains **{hi['urls_per_sec']} URLs/s** "
             "scheduled+extracted on one machine.\n\n"

@@ -47,14 +47,86 @@ def find_emails_regex(text: Optional[str]) -> List[str]:
 
 
 def extract_emails(html: Union[str, bytes, None], url_type: str = "website") -> List[str]:
-    """Extract the valid-email set from one contact page.
-
-    The reference unions a browser deep-crawl pass with a raw-HTML regex pass
-    (email_extractor.py:149-161); without a browser the deep-crawl pass
-    contributes the same regex over the same bytes, so the computed set is
-    regex(html) filtered by validity.  ``url_type`` steers nothing here (it
-    only selected deep-crawl keywords, 1900comvn.yml:50-76) but is kept for
-    signature parity.  Returns sorted distinct valid emails."""
+    """Extract the valid-email set from one contact page (the regex pass of
+    email_extractor.py:149-161).  The deep-crawl half of the reference's
+    union is the ENGINE's job: :func:`score_contact_links` surfaces the
+    keyword-scored subpage links and the epoch frontier fetches them, so
+    emails living only on /contact-style subpages are still found — then the
+    per-company email sets union at export, matching
+    ``list(set(crawling_emails + regex_emails))``.  ``url_type`` selects the
+    deep-crawl keyword set (1900comvn.yml:50-76), not the regexes.  Returns
+    sorted distinct valid emails."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     return [e for e in find_emails_regex(html) if is_valid_email(e)]
+
+
+# email keywords per url_type — 1900comvn.yml:50-76 / email_extractor.py:37-48
+EMAIL_KEYWORDS = {
+    "website": [
+        "contact", "email", "mail", "lien he", "lienhe", "about", "gioi thieu",
+        "info", "support", "help", "reach", "get in touch", "connect",
+    ],
+    "facebook": [
+        "about", "contact", "email", "mail", "info", "business", "company",
+        "lien he", "lienhe", "thong tin", "thongtin",
+    ],
+}
+
+# BestFirstCrawlingStrategy config — 1900comvn.yml:44-47 (max_depth 1,
+# max_pages 3 = landing page + 2 best subpages, include_external false)
+BEST_FIRST_MAX_PAGES = 3
+
+
+def score_contact_links(html: Union[str, bytes, None], base_url: str,
+                        url_type: str = "website",
+                        max_pages: int = BEST_FIRST_MAX_PAGES,
+                        root=None) -> List[str]:
+    """Best-first deep-crawl candidate links from a contact landing page
+    (email_extractor.py:149-225: KeywordRelevanceScorer over same-host
+    links, BestFirstCrawlingStrategy with include_external=False).
+
+    Scoring contract (documented engine semantics for the browser scorer):
+    a link's score is the number of keyword hits in its lowercased
+    href + anchor text; links scoring 0 are never followed; ties break by
+    document order; the top ``max_pages - 1`` links are returned (the
+    landing page itself is page 1 of the budget) as absolute same-host URLs.
+    """
+    from ..html import parse_html
+    from .urlnorm import canonicalize_url, url_host
+
+    if root is None:
+        root = parse_html(html)
+    if root is None:
+        return []
+    base = canonicalize_url(base_url)
+    host = url_host(base) if base else None
+    if not host:
+        return []
+    keywords = EMAIL_KEYWORDS.get(url_type or "website", EMAIL_KEYWORDS["website"])
+    seen = set()
+    scored = []  # (-score, doc_order, url)
+    order = 0
+    for el in root.iter():
+        if el.tag != "a":
+            continue
+        href = el.get("href")
+        if not href or href.startswith(("#", "mailto:", "javascript:")):
+            continue
+        if href.startswith("/"):
+            absu = f"https://{host}{href}"
+        elif "://" in href:
+            absu = href
+        else:
+            continue  # relative-path links are outside the corpus contract
+        absu = canonicalize_url(absu)
+        if not absu or url_host(absu) != host or absu == base or absu in seen:
+            continue  # include_external=False: same-host only
+        seen.add(absu)
+        blob = f"{href} {el.text_content()}".lower()
+        score = sum(1 for k in keywords if k in blob)
+        if score > 0:
+            scored.append((-score, order, absu))
+        order += 1
+    scored.sort()
+    return [u for _, _, u in scored[: max(max_pages - 1, 0)]]

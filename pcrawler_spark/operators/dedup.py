@@ -51,16 +51,23 @@ def dedup_exact(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.dropDuplicates(list(keys))
 
 
-def dedup_keep_first_agg(df: DataFrame, key: str, order_cols: Sequence[str],
+def dedup_keep_first_agg(df: DataFrame, key: str | Sequence[str],
+                         order_cols: Sequence[str],
                          payload_cols: Sequence[str]) -> DataFrame:
     """Keep-first as an aggregation: ``min(struct(order..., payload...))``
     per key.  Same winner as the window form (struct ordering is
     lexicographic over the order columns) but partial-aggregatable:
     Spark plans it as partial+final SortAggregate around a single exchange
     (struct min is sort-based) — map-side combine shrinks the shuffle,
-    unlike the window form which shuffles every row then sorts per key."""
+    unlike the window form which shuffles every row then sorts per key.
+    A multi-column ``key`` lets the grouping ride an existing coarser
+    partitioning (e.g. group on (host, url_hash) after a repartition on
+    host — no second exchange)."""
+    keys = [key] if isinstance(key, str) else list(key)
     w = F.min(F.struct(*[F.col(c) for c in order_cols],
                        *[F.col(c) for c in payload_cols])).alias("_w")
-    out = df.groupBy(key).agg(w)
-    cols = [F.col(key)] + [F.col(f"_w.{c}").alias(c) for c in list(order_cols) + list(payload_cols)]
+    out = df.groupBy(*keys).agg(w)
+    cols = [F.col(k) for k in keys] + [
+        F.col(f"_w.{c}").alias(c) for c in list(order_cols) + list(payload_cols)
+    ]
     return out.select(*cols)

@@ -7,17 +7,20 @@ arbiter (db_manager.py:119-128).  Spark-first equivalent:
 * exact dedup = LEFT ANTI join of candidates against the ``seen`` table on
   the 64-bit canonical url hash — one shuffle, no driver involvement;
 * a *partitioned Bloom pre-filter* (the north_star's "partitioned
-  bloom/cuckoo URL-seen filter"): each partition of ``seen`` builds a numpy
-  bitmap over its url hashes (map-side), the bitmaps OR-reduce to one filter
-  that is broadcast; candidates that miss the filter are DEFINITELY new and
-  skip the anti-join shuffle entirely, candidates that hit go through the
-  exact anti-join (false positives cost a probe, never a lost URL).
+  bloom/cuckoo URL-seen filter"): the seen set is bucketed — by HOST hash
+  when the engine recorded a ``host_bucket`` column, else by url-hash mod —
+  and each bucket builds its own independently-sized bitmap DISTRIBUTED
+  (``applyInPandas`` per bucket group; sizing uses the bucket's actual row
+  count).  Only the buckets the epoch's candidates actually reference are
+  collected and broadcast.  Candidates that miss their bucket's filter are
+  DEFINITELY new and skip the anti-join shuffle entirely; hits go through
+  the exact anti-join (a false positive costs a probe, never a lost URL).
 
-Sizing: m bits (power of two) ≈ 10× expected items gives ~1% fpp with k=7.
-At 10^10 seen URLs a single bitmap is ~12 GB — there the filter is built
-per host-bucket and only the buckets referenced by the epoch's candidates
-are broadcast; at sandbox scale one bitmap suffices (the build path is the
-same map-side OR-reduce either way).
+Scale math at 10^10 seen URLs: one flat bitmap would be ~12 GB — never
+driver-merge that.  With 4096 host buckets each bitmap is ~3 MB, and an
+epoch whose politeness budget schedules a few hundred hosts touches a few
+hundred buckets → the driver/broadcast payload is bounded by the epoch's
+host fan-out, not by the total seen count.
 
 PySpark 4 exposes neither ``df.stat.bloomFilter`` nor ``bloom_filter_agg``
 SQL — this implementation is self-contained (numpy + double hashing).
@@ -28,10 +31,14 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+#: bucket count for the partitioned filter; at 10^10 scale raise via config
+DEFAULT_N_BUCKETS = 64
 
 
 def _mix(h: np.ndarray) -> np.ndarray:
@@ -54,27 +61,137 @@ def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int):
         yield ((h1 + np.uint64(i) * h2) % mod).astype(np.int64)
 
 
+def _bitmap_for(hs: np.ndarray, fpp: float) -> tuple[bytes, int, int]:
+    """One bucket's bitmap, sized from its ACTUAL row count."""
+    n = max(len(hs), 1)
+    m_bits = 1 << max(10, math.ceil(math.log2(n * abs(math.log(fpp)) / (math.log(2) ** 2))))
+    k = max(1, round((m_bits / n) * math.log(2)))
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(hs):
+        for pos in _bloom_positions(hs.view(np.uint64), m_bits, k):
+            np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bitmap.tobytes(), m_bits, k
+
+
+def candidate_bucket_col(candidates: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
+                         hash_col: str = "url_hash"):
+    """Bucket expression for a candidate row: host-keyed when the frontier
+    carries ``host`` (url_hash is xxhash64(canon_url), and seen rows record
+    the same host bucket), else url-hash mod."""
+    if "host" in candidates.columns:
+        return F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+
+
+def seen_host_bucket_col(host_col: str = "host", n_buckets: int = DEFAULT_N_BUCKETS):
+    """The column the ENGINE stamps on every seen row so the Bloom build can
+    bucket by host without re-deriving it from the hash."""
+    return F.pmod(F.xxhash64(host_col), F.lit(n_buckets)).cast("int")
+
+
+def build_bloom_buckets(seen: DataFrame, bucket_col, hash_col: str = "url_hash",
+                        fpp: float = 0.01) -> DataFrame:
+    """DISTRIBUTED per-bucket Bloom build: groupBy(bucket) → applyInPandas
+    emits one (bucket, m_bits, k, bitmap) row per bucket.  No driver-side
+    merge — each bucket's bitmap is built where its rows live and sized from
+    the bucket's own count."""
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = pdf[hash_col].to_numpy(dtype=np.int64)
+        bitmap, m_bits, k = _bitmap_for(hs, fpp)
+        return pd.DataFrame({
+            "bucket": [int(pdf["_bucket"].iloc[0])],
+            "m_bits": [m_bits], "k": [k], "bitmap": [bitmap],
+        })
+
+    return (
+        seen.select(F.col(hash_col), bucket_col.alias("_bucket"))
+        .groupBy("_bucket")
+        .applyInPandas(build, "bucket int, m_bits long, k int, bitmap binary")
+    )
+
+
+def bloom_partitioned_filter(candidates: DataFrame, seen: DataFrame,
+                             hash_col: str = "url_hash",
+                             n_buckets: int = DEFAULT_N_BUCKETS,
+                             fpp: float = 0.01) -> DataFrame:
+    """Adds ``_maybe_seen`` to candidates using per-bucket Bloom filters.
+
+    Only the buckets present among the candidates are collected and
+    broadcast (at real scale an epoch touches the politeness-budgeted host
+    subset, so this payload is epoch-bounded).  Rows in buckets with no seen
+    entries are definitely new."""
+    spark = candidates.sparkSession
+    cand = candidates.withColumn("_bucket", candidate_bucket_col(candidates, n_buckets, hash_col))
+    needed = {r["_bucket"] for r in cand.select("_bucket").distinct().collect()}
+
+    if "host_bucket" in seen.columns and "host" in candidates.columns:
+        seen_bucket = F.col("host_bucket").cast("int")
+    else:
+        seen_bucket = F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    blooms = build_bloom_buckets(
+        seen.filter(seen_bucket.isin(*needed) if needed else F.lit(False)),
+        seen_bucket, hash_col, fpp,
+    ).collect()
+    table = {r["bucket"]: (np.frombuffer(r["bitmap"], dtype=np.uint8), r["m_bits"], r["k"])
+             for r in blooms}
+    b = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf("boolean")
+    def might_contain(h: pd.Series, bucket: pd.Series) -> pd.Series:
+        tbl = b.value
+        hs = h.to_numpy(dtype=np.int64, na_value=0)
+        out = np.zeros(len(hs), dtype=bool)
+        for bk in pd.unique(bucket):
+            ent = tbl.get(int(bk))
+            if ent is None:
+                continue  # no seen rows in this bucket → definitely new
+            bm, m_bits, k = ent
+            idx = (bucket == bk).to_numpy()
+            sub = hs[idx].view(np.uint64)
+            hit = np.ones(len(sub), dtype=bool)
+            for pos in _bloom_positions(sub, m_bits, k):
+                hit &= (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            out[idx] = hit
+        return pd.Series(out)
+
+    return cand.withColumn("_maybe_seen", might_contain(F.col(hash_col), F.col("_bucket"))).drop("_bucket")
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame,
+                   hash_col: str = "url_hash",
+                   use_bloom: bool = False, fpp: float = 0.01,
+                   n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+    """Exact new-URL filter: candidates ∖ seen on the url hash (left anti).
+
+    With ``use_bloom`` the definitely-new rows (Bloom miss) bypass the
+    anti-join shuffle entirely; only possible-hits are joined — a large win
+    when the frontier epoch is small relative to the seen set."""
+    if not use_bloom:
+        return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
+    flagged = bloom_partitioned_filter(candidates, seen, hash_col, n_buckets, fpp)
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = maybe.join(seen.select(hash_col), on=hash_col, how="left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# single-bitmap helpers kept for micro-tests / back-compat; the partitioned
+# path above is the production one
+# ---------------------------------------------------------------------------
+
 def build_bloom(seen: DataFrame, hash_col: str = "url_hash",
                 expected_items: int | None = None, fpp: float = 0.01):
-    """Map-side partition bitmaps OR-reduced into one numpy bitset."""
-    if expected_items is None:
-        expected_items = max(seen.count(), 1)
-    m_bits = 1 << max(10, math.ceil(math.log2(expected_items * abs(math.log(fpp)) / (math.log(2) ** 2))))
-    k = max(1, round((m_bits / expected_items) * math.log(2)))
-
-    def partition_bitmap(rows):
-        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-        hs = np.fromiter((r[0] for r in rows), dtype=np.int64)
-        if len(hs):
-            for pos in _bloom_positions(hs.view(np.uint64), m_bits, k):
-                np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        yield bytes(bitmap.tobytes())
-
-    parts = seen.select(hash_col).rdd.mapPartitions(partition_bitmap).collect()
-    merged = np.zeros(m_bits // 8, dtype=np.uint8)
-    for p in parts:
-        merged |= np.frombuffer(p, dtype=np.uint8)
-    return merged, m_bits, k
+    """One flat bitmap via the distributed per-bucket build, OR-merged —
+    only sensible at small scale (micro-tests)."""
+    rows = build_bloom_buckets(
+        seen, F.lit(0).cast("int"), hash_col, fpp
+    ).collect()
+    assert len(rows) <= 1
+    if not rows:
+        return np.zeros(128, dtype=np.uint8), 1024, 7
+    r = rows[0]
+    return np.frombuffer(r["bitmap"], dtype=np.uint8).copy(), r["m_bits"], r["k"]
 
 
 def bloom_might_contain_udf(spark, bitmap: np.ndarray, m_bits: int, k: int):
@@ -82,8 +199,6 @@ def bloom_might_contain_udf(spark, bitmap: np.ndarray, m_bits: int, k: int):
 
     @F.pandas_udf("boolean")
     def might_contain(h):
-        import pandas as pd
-
         bm = np.frombuffer(b.value, dtype=np.uint8)
         hs = h.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
         hit = np.ones(len(hs), dtype=bool)
@@ -94,26 +209,6 @@ def bloom_might_contain_udf(spark, bitmap: np.ndarray, m_bits: int, k: int):
     return might_contain
 
 
-def anti_join_seen(candidates: DataFrame, seen: DataFrame,
-                   hash_col: str = "url_hash",
-                   use_bloom: bool = False, fpp: float = 0.01) -> DataFrame:
-    """Exact new-URL filter: candidates ∖ seen on the url hash (left anti).
-
-    With ``use_bloom`` the definitely-new rows (Bloom miss) bypass the
-    anti-join shuffle entirely; only possible-hits are joined — a large win
-    when the frontier epoch is small relative to the seen set."""
-    if not use_bloom:
-        return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
-    bitmap, m_bits, k = build_bloom(seen, hash_col, fpp=fpp)
-    might = bloom_might_contain_udf(candidates.sparkSession, bitmap, m_bits, k)
-    flagged = candidates.withColumn("_maybe_seen", might(F.col(hash_col)))
-    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = maybe.join(seen.select(hash_col), on=hash_col, how="left_anti")
-    return definitely_new.unionByName(confirmed_new)
-
-
-# back-compat alias used in earlier revisions/tests
 def bloom_prefilter(candidates: DataFrame, seen: DataFrame,
                     hash_col: str = "url_hash", expected_items: int | None = None,
                     fpp: float = 0.03) -> DataFrame:

@@ -81,6 +81,77 @@ class EpochCatalog:
         with open(self._manifest_path(epoch)) as f:
             return json.load(f)
 
+    def compact(self, tables: Optional[Iterable[str]] = None,
+                upto: Optional[int] = None, min_epochs: int = 2) -> Optional[int]:
+        """Merge a table's per-epoch partition dirs into ONE new epoch dir.
+
+        Long crawls accrue one directory per epoch per table; ``seen`` and
+        ``frontier`` are re-read every epoch, so thousands of tiny dirs turn
+        the scheduling scan into a file-listing storm.  Compaction commits a
+        new epoch whose manifest lists the epochs it ``replaces`` per table;
+        readers skip replaced epochs, so the commit point (manifest rename)
+        is atomic exactly like a normal epoch: a crash before it leaves only
+        an uncommitted dir (rolled back), a crash after it leaves stale
+        replaced dirs that are skipped by readers and deleted lazily here.
+        Returns the compaction epoch, or None if nothing needed merging."""
+        last = self.last_committed_epoch()
+        if last < 0:
+            return None
+        upto = last if upto is None else min(upto, last)
+        new_epoch = last + 1
+        committed = set(self.committed_epochs())
+        if tables is None:
+            tables = [d for d in os.listdir(self.root)
+                      if not d.startswith("_") and os.path.isdir(os.path.join(self.root, d))]
+        written, replaces = {}, {}
+        for t in tables:
+            replaced_already = self._replaced_epochs(t)
+            tdir = os.path.join(self.root, t)
+            if not os.path.isdir(tdir):
+                continue
+            eps = sorted(
+                int(d.split("=", 1)[1]) for d in os.listdir(tdir)
+                if d.startswith("epoch=")
+                and int(d.split("=", 1)[1]) in committed
+                and int(d.split("=", 1)[1]) <= upto
+                and int(d.split("=", 1)[1]) not in replaced_already
+            )
+            if len(eps) < min_epochs:
+                continue
+            df = self.read(t, upto_epoch=upto)
+            if df is None:
+                continue
+            path = self._epoch_dir(t, new_epoch)
+            df.drop("epoch").write.mode("overwrite").parquet(path)
+            written[t] = path
+            replaces[t] = eps
+        if not written:
+            return None
+        manifest = {
+            "epoch": new_epoch,
+            "tables": written,
+            "committed_at_unix": time.time(),
+            "metadata": {"compaction": True},
+            "replaces": replaces,
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_commits"), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(new_epoch))  # atomic commit point
+        # lazy GC — safe any time after the commit (readers already skip them)
+        for t, eps in replaces.items():
+            for e in eps:
+                shutil.rmtree(self._epoch_dir(t, e), ignore_errors=True)
+        return new_epoch
+
+    def _replaced_epochs(self, table: str) -> set[int]:
+        """Epochs superseded by a later compaction of ``table``."""
+        out: set[int] = set()
+        for e in self.committed_epochs():
+            m = self.manifest(e)
+            out.update(m.get("replaces", {}).get(table, []))
+        return out
+
     def rollback_uncommitted(self) -> None:
         """Remove epoch dirs newer than the last commit (crash cleanup)."""
         last = self.last_committed_epoch()
@@ -101,7 +172,7 @@ class EpochCatalog:
 
         Uses basePath-style partition discovery so ``epoch`` appears as a
         column and partition pruning applies when callers filter on it."""
-        committed = set(self.committed_epochs())
+        committed = set(self.committed_epochs()) - self._replaced_epochs(table)
         if upto_epoch is not None:
             committed = {e for e in committed if e <= upto_epoch}
         tdir = os.path.join(self.root, table)

@@ -33,8 +33,8 @@ from pyspark.sql import types as T
 from ..functions.udfs import with_url_hash
 from .singlepass import fused_extract
 from ..operators.dedup import dedup_keep_first, dedup_keep_last
-from ..operators.politeness import politeness_schedule
-from ..operators.seen import anti_join_seen
+from ..operators.politeness import politeness_decide
+from ..operators.seen import anti_join_seen, seen_host_bucket_col
 from ..operators.export import export_contacts
 from .catalog import EpochCatalog
 
@@ -46,6 +46,7 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("url_type", T.StringType()),    # website | facebook (contact)
     T.StructField("priority", T.IntegerType()),
     T.StructField("depth", T.IntegerType()),
+    T.StructField("contact_depth", T.IntegerType()),  # hops inside a contact site (deep email crawl)
     T.StructField("industry", T.StringType()),
     T.StructField("company_name", T.StringType()),
     T.StructField("retry_count", T.IntegerType()),
@@ -56,6 +57,7 @@ SEEN_SCHEMA = T.StructType([
     T.StructField("url_hash", T.LongType()),
     T.StructField("first_epoch", T.IntegerType()),
     T.StructField("reason", T.StringType()),      # fetched | disallowed | missing | gave_up
+    T.StructField("host_bucket", T.IntegerType()),  # pmod(xxhash64(host), N) — partitioned Bloom key
 ])
 
 
@@ -74,6 +76,24 @@ class CrawlRunConfig:
     # half-open (scheduled again)
     breaker_threshold: int = 3
     breaker_cooldown_epochs: int = 1
+    # pending = frontier ∖ seen: route the anti-join through the partitioned
+    # Bloom prefilter once the seen set is at least this big (the filter
+    # build costs one pass over `seen`, so tiny seen sets skip it);
+    # None disables the Bloom path entirely
+    bloom_min_seen: int | None = None
+    # fetch-join strategy: the scheduled key set is broadcast onto the page
+    # scan only while its row count stays under this bound — beyond it the
+    # join falls back to a shuffle plan (or the bucketed page store at real
+    # scale) instead of OOMing the executors with a giant broadcast map
+    broadcast_max_scheduled: int = 4_000_000
+    # best-first deep email crawl (email_extractor.py:149-225): follow
+    # keyword-scored links from contact landing pages up to this depth
+    # (0 disables frontier expansion from contact pages)
+    contact_max_depth: int = 1
+    # merge seen/frontier epoch dirs every k worked epochs (None = never):
+    # long crawls otherwise accrue one directory per epoch and the
+    # per-epoch scheduling scan degrades into a file-listing storm
+    compact_every: int | None = None
 
 
 class CrawlEngine:
@@ -116,6 +136,7 @@ class CrawlEngine:
             "url_hash", "canon_url", "host", "kind", "url_type",
             F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
             F.lit(0).alias("depth"),
+            F.lit(0).alias("contact_depth"),
             F.col("industry"),
             F.lit(None).cast("string").alias("company_name"),
             F.lit(0).alias("retry_count"),
@@ -125,13 +146,29 @@ class CrawlEngine:
 
     # ---- one epoch ---------------------------------------------------------
 
+    def _seen_count_estimate(self) -> int:
+        """Cumulative seen-set size from committed manifests (driver-side
+        JSON reads, no Spark action) — gates the Bloom prefilter."""
+        total = 0
+        for e in self.catalog.committed_epochs():
+            md = self.catalog.manifest(e).get("metadata", {})
+            total += int(md.get("seen_rows", 0))
+        return total
+
     def _pending(self) -> DataFrame | None:
         frontier = self.catalog.read("frontier")
         if frontier is None:
             return None
         frontier = frontier.drop("epoch")
         seen = self.catalog.read("seen")
-        pending = frontier if seen is None else anti_join_seen(frontier, seen.drop("epoch"))
+        use_bloom = (
+            seen is not None
+            and self.cfg.bloom_min_seen is not None
+            and self._seen_count_estimate() >= self.cfg.bloom_min_seen
+        )
+        pending = frontier if seen is None else anti_join_seen(
+            frontier, seen.drop("epoch"), use_bloom=use_bloom
+        )
         # rediscovered urls keep one row; retried rows win (highest retry_count
         # → demoted in the politeness order), ties broken by earliest epoch
         return dedup_keep_last(pending, ["url_hash"], "retry_count", tiebreak=["epoch_added"])
@@ -142,13 +179,11 @@ class CrawlEngine:
         pending = self._pending()
         if pending is None:
             return None
-        pending = pending.persist()
-        urls_pending = pending.count()
-        if urls_pending == 0:
-            pending.unpersist()
-            return None
 
-        scheduled, deferred, disallowed = politeness_schedule(
+        # ONE plan annotates every pending row with its fate; every metric
+        # below comes from a single groupBy('decision') action instead of
+        # the round-1 engine's 8 count jobs per epoch
+        decided = politeness_decide(
             pending, self.hosts, epoch_seconds=cfgc.epoch_seconds,
             order_cols=("priority", "retry_count", "url_hash"),
         )
@@ -156,7 +191,6 @@ class CrawlEngine:
         # circuit breaker: hosts that tripped in the cooldown window are
         # OPEN — their urls sit out this epoch (stay pending, no seen rows)
         breaker = self.catalog.read("breaker")
-        n_breaker_deferred = 0
         if breaker is not None and cfgc.breaker_threshold > 0:
             open_hosts = (
                 breaker.drop("epoch")
@@ -165,19 +199,19 @@ class CrawlEngine:
                     & (F.col("fail_epoch") >= epoch - cfgc.breaker_cooldown_epochs)
                 )
                 .select("host").distinct()
+                .withColumn("_open", F.lit(True))
             )
-            tripped = scheduled.join(F.broadcast(open_hosts), on="host", how="left_semi")
-            n_breaker_deferred = tripped.count()
-            if n_breaker_deferred:
-                scheduled = scheduled.join(F.broadcast(open_hosts), on="host", how="left_anti")
-        scheduled = scheduled.persist()
-        n_scheduled = scheduled.count()
-        n_disallowed = disallowed.count()
-        if n_scheduled == 0 and n_breaker_deferred == 0 and n_disallowed == 0:
-            # nothing schedulable and nothing that will unblock by waiting
-            pending.unpersist()
-            scheduled.unpersist()
-            return None
+            decided = (
+                decided.join(F.broadcast(open_hosts), on="host", how="left")
+                .withColumn(
+                    "decision",
+                    F.when(
+                        (F.col("decision") == "scheduled") & F.col("_open"),
+                        F.lit("breaker"),
+                    ).otherwise(F.col("decision")),
+                )
+                .drop("_open")
+            )
 
         # deterministic flaky-fetch simulation: fail first attempts by hash
         if cfgc.simulate_flaky_rate > 0:
@@ -185,21 +219,54 @@ class CrawlEngine:
                 F.pmod(F.xxhash64("url_hash", F.lit(1234)), F.lit(10_000))
                 < F.lit(int(cfgc.simulate_flaky_rate * 10_000))
             ) & (F.col("retry_count") < F.lit(1))
-            failed_now = scheduled.filter(flaky)
-            attempt = scheduled.filter(~flaky)
-        else:
-            failed_now = None
-            attempt = scheduled
+            decided = decided.withColumn(
+                "decision",
+                F.when((F.col("decision") == "scheduled") & flaky, F.lit("flaky"))
+                .otherwise(F.col("decision")),
+            )
 
-        # fetch = hash-join against the page store; scheduled side is
-        # budget-bounded → broadcast it, never shuffle the page store
+        decided = decided.persist()
+        # ---- metric action 1 of 2: all scheduling counters at once --------
+        counts = {r["decision"]: r["count"] for r in decided.groupBy("decision").count().collect()}
+        urls_pending = sum(counts.values())
+        n_scheduled = counts.get("scheduled", 0)
+        n_deferred = counts.get("deferred", 0)
+        n_disallowed = counts.get("disallowed", 0)
+        n_breaker_deferred = counts.get("breaker", 0)
+        n_failed = counts.get("flaky", 0)
+        if urls_pending == 0 or (
+            n_scheduled == 0 and n_failed == 0
+            and n_breaker_deferred == 0 and n_disallowed == 0
+        ):
+            # empty frontier, or nothing schedulable and nothing that will
+            # unblock by waiting
+            decided.unpersist()
+            return None
+
+        attempt = decided.filter(F.col("decision") == "scheduled")
+        failed_now = decided.filter(F.col("decision") == "flaky") if n_failed else None
+        disallowed = decided.filter(F.col("decision") == "disallowed")
+
+        # fetch = hash-join against the page store; the politeness budget
+        # bounds the scheduled side, so broadcast it while it is provably
+        # small (count from metric action 1 — no extra job) and fall back to
+        # a shuffle plan beyond the gate instead of OOMing on a giant
+        # broadcast map; the 10^10-row page store is never shuffled either way
         att_sel = attempt.select(
-            "url_hash", "kind", "url_type", "priority", "depth",
+            "url_hash",
+            # kept (aliased: pages_idx also carries host) so 'missing' seen
+            # rows can stamp their host_bucket for the partitioned Bloom
+            F.col("host").alias("frontier_host"),
+            "kind", "url_type", "priority", "depth", "contact_depth",
             F.col("industry").alias("seed_industry"),
             F.col("company_name").alias("seed_company_name"),
             "retry_count",
         )
-        fetched = self.pages_idx.join(F.broadcast(att_sel), on="url_hash", how="inner")
+        att_join = (
+            F.broadcast(att_sel)
+            if n_scheduled <= cfgc.broadcast_max_scheduled else att_sel
+        )
+        fetched = self.pages_idx.join(att_join, on="url_hash", how="inner")
         # ONE fused Arrow pass: shared DOM parse feeds detail/email/link/text
         # kernels per url kind; frontier metadata rides through as passthrough
         ext = fused_extract(
@@ -207,10 +274,13 @@ class CrawlEngine:
             passthrough={
                 "host": "string", "lang": "string", "warc_ts": "timestamp",
                 "seed_industry": "string", "seed_company_name": "string",
-                "depth": "int",
+                "depth": "int", "contact_depth": "int",
             },
         ).persist()
-        n_fetched = ext.count()
+        # ---- metric action 2 of 2: per-kind output counters ---------------
+        kind_counts = {r["kind"]: r["count"] for r in ext.groupBy("kind").count().collect()}
+        n_fetched = sum(kind_counts.values())
+        n_records = kind_counts.get("detail", 0)
         missing = att_sel.join(ext.select("url_hash"), "url_hash", "left_anti")
 
         details = ext.filter(F.col("kind") == "detail").select(
@@ -230,14 +300,26 @@ class CrawlEngine:
 
         # frontier expansion: listing pages yield company + pagination links
         # (list_crawler.py:342-394, :330-340), detail pages yield their
-        # website/facebook contact urls
+        # website/facebook contact urls, and contact pages yield their
+        # keyword-scored best-first links (email_extractor.py:149-225) up to
+        # contact_max_depth — contact subpages inherit the company so their
+        # emails join back to it
+        expandable = (F.col("kind") != "contact") | (
+            F.col("contact_depth") < F.lit(cfgc.contact_max_depth)
+        )
         new_links = (
-            ext.filter(F.size(F.coalesce("out_links", F.array())) > 0)
+            ext.filter(expandable & (F.size(F.coalesce("out_links", F.array())) > 0))
             .select(
                 F.explode("out_links").alias("url"),
                 (F.col("depth") + 1).alias("depth"),
+                # contact children of a contact page are one hop deeper into
+                # the site; contact landing pages (children of details) start
+                # at 0; non-contact children reset
+                F.when(F.col("kind") == "contact", F.col("contact_depth") + 1)
+                .otherwise(F.lit(0)).alias("contact_depth"),
                 F.col("seed_industry").alias("industry"),
                 F.when(F.col("kind") == "detail", F.col("company_name"))
+                .when(F.col("kind") == "contact", F.col("seed_company_name"))
                 .otherwise(F.lit(None).cast("string")).alias("company_name"),
             )
         )
@@ -249,14 +331,17 @@ class CrawlEngine:
             .when(F.col("kind") == "detail", 1)
             .otherwise(2).cast("int").alias("priority"),
             F.col("depth").cast("int"),
+            F.col("contact_depth").cast("int"),
             "industry", "company_name",
             F.lit(0).alias("retry_count"),
             F.lit(epoch).alias("epoch_added"),
         ).dropDuplicates(["url_hash"])
 
-        # retried rows go back to the frontier with demoted order
-        retries = None
-        n_failed = 0
+        # failed fetches: retries go back to the frontier with demoted
+        # order; attempts beyond max_retries are permanently RETIRED with a
+        # 'gave_up' seen row — without it the URL would stay pending forever
+        # and be rescheduled every epoch (livelock under persistent failures)
+        gave_up = None
         breaker_rows = None
         if failed_now is not None:
             breaker_rows = (
@@ -264,25 +349,37 @@ class CrawlEngine:
                 .agg(F.count("*").alias("n_failures"))
                 .withColumn("fail_epoch", F.lit(epoch))
             )
-            retries = failed_now.select(
+            bumped = failed_now.select(
                 "url_hash", "canon_url", "host", "kind", "url_type",
-                "priority", "depth", "industry", "company_name",
+                "priority", "depth", "contact_depth", "industry", "company_name",
                 (F.col("retry_count") + 1).cast("int").alias("retry_count"),
                 F.lit(epoch).alias("epoch_added"),
-            ).filter(F.col("retry_count") <= cfgc.max_retries)
+            )
+            retries = bumped.filter(F.col("retry_count") <= cfgc.max_retries)
+            gave_up = bumped.filter(F.col("retry_count") > cfgc.max_retries)
             new_frontier = new_frontier.unionByName(retries)
-            n_failed = failed_now.count()
 
-        # seen = fetched ∪ disallowed ∪ missing (never re-scheduled)
+        # seen = fetched ∪ disallowed ∪ missing ∪ gave_up (never re-scheduled);
+        # every row is stamped with its host bucket so the partitioned Bloom
+        # prefilter can build per-bucket filters without re-deriving hosts
+        def _seen(df: DataFrame, reason: str, host_col: str = "host") -> DataFrame:
+            return df.select(
+                "url_hash",
+                F.lit(epoch).alias("first_epoch"),
+                F.lit(reason).alias("reason"),
+                seen_host_bucket_col(host_col).alias("host_bucket"),
+            )
+
         seen_rows = (
-            ext.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("fetched").alias("reason"))
-            .unionByName(disallowed.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("disallowed").alias("reason")))
-            .unionByName(missing.select("url_hash", F.lit(epoch).alias("first_epoch"), F.lit("missing").alias("reason")))
+            _seen(ext, "fetched")
+            .unionByName(_seen(disallowed, "disallowed"))
+            .unionByName(_seen(missing, "missing", "frontier_host"))
         )
+        if gave_up is not None:
+            seen_rows = seen_rows.unionByName(_seen(gave_up, "gave_up"))
 
         records_out = details
-        n_records = records_out.count()
-        n_deferred = deferred.count()
+        n_missing = n_scheduled - n_fetched
 
         metrics = {
             "epoch": epoch,
@@ -291,9 +388,13 @@ class CrawlEngine:
             "deferred": n_deferred,
             "disallowed": n_disallowed,
             "fetched": n_fetched,
+            "missing": n_missing,
             "failed_flaky": n_failed,
             "breaker_deferred": n_breaker_deferred,
             "records_out": n_records,
+            # seen_rows lower bound (gave_up rows excluded: their count is
+            # bounded by failed_flaky); used by the Bloom size gate
+            "seen_rows": n_fetched + n_disallowed + n_missing,
         }
         checkpoint = self.spark.createDataFrame(
             [(epoch, urls_pending, n_scheduled, n_deferred, n_disallowed,
@@ -314,8 +415,7 @@ class CrawlEngine:
             tables["breaker"] = breaker_rows
         self.catalog.write_epoch(epoch, tables, metadata=metrics)
         metrics["wall_ms"] = int((time.time() - t0) * 1000)
-        pending.unpersist()
-        scheduled.unpersist()
+        decided.unpersist()
         ext.unpersist()
         return metrics
 
@@ -326,18 +426,22 @@ class CrawlEngine:
         RESUMES from the last committed epoch (killed runs lose at most the
         uncommitted epoch, which is recomputed)."""
         self.catalog.rollback_uncommitted()
-        last = self.catalog.last_committed_epoch()
-        if last < 0:
+        if self.catalog.last_committed_epoch() < 0:
             if seeds is None:
                 raise ValueError("fresh run needs seeds")
             self.init_frontier(seeds)
-            last = 0
         out = []
-        for epoch in range(last + 1, self.cfg.max_epochs + 1):
+        while True:
+            # recompute each turn: compaction commits consume epoch numbers
+            epoch = self.catalog.last_committed_epoch() + 1
+            if epoch > self.cfg.max_epochs:
+                break
             m = self.run_epoch(epoch)
             if m is None:
                 break
             out.append(m)
+            if self.cfg.compact_every and len(out) % self.cfg.compact_every == 0:
+                self.catalog.compact(["seen", "frontier"])
         return out
 
     # ---- outputs -------------------------------------------------------------
@@ -367,10 +471,17 @@ class CrawlEngine:
             F.col("canon_url").alias("url"),
             F.col("seed_industry").alias("industry"),
         )
-        email_extraction = emails.select(
-            "company_name", "emails",
-            F.col("url_type").alias("email_source"),
-        ).filter(F.col("company_name").isNotNull())
+        # the deep crawl yields one emails row per fetched contact page
+        # (landing + keyword-scored subpages); union them per (company,
+        # source) — the engine equivalent of the reference's in-task
+        # ``list(set(crawling_emails + regex_emails))`` union
+        # (email_extractor.py:155-161), under the sorted-array contract
+        email_extraction = (
+            emails.filter(F.col("company_name").isNotNull())
+            .groupBy("company_name", "url_type")
+            .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("emails")))).alias("emails"))
+            .select("company_name", "emails", F.col("url_type").alias("email_source"))
+        )
         return export_contacts(company_details, detail_pages, email_extraction)
 
     def export_csv(self, path: str, max_na_ratio: float = 0.7) -> None:

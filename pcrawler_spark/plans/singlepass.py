@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import with_url_hash
 from ..operators.dedup import dedup_keep_first_agg
-from ..operators.politeness import politeness_schedule, salted_repartition
+from ..operators.politeness import politeness_decide, salted_repartition
 
 EXTRACT_ALL_SCHEMA = (
     "url_hash long, canon_url string, kind string, url_type string, "
@@ -47,6 +47,7 @@ def _extract_batch(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         extract_emails,
         extract_text,
     )
+    from ..kernels.emails import score_contact_links
     from ..kernels.links import extract_pagination_links
 
     for pdf in batches:
@@ -69,6 +70,11 @@ def _extract_batch(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
                 links = [u for u in (rec["website"], rec["facebook"]) if u]
             elif kind == "contact":
                 emails = extract_emails(html, url_type or "website")
+                # best-first deep crawl (email_extractor.py:149-225): surface
+                # the keyword-scored same-host links; the epoch engine
+                # follows them to contact_max_depth
+                links = score_contact_links(html, base_url=url,
+                                            url_type=url_type or "website", root=root)
             else:  # listing
                 links = extract_company_links(html, root=root) + extract_pagination_links(html, root=root)
             for c in _DETAIL_COLS:
@@ -121,35 +127,43 @@ def schedule_and_extract(
     hosts: DataFrame,
     epoch_seconds: float = 1e9,
     directory_host: str = "1900.example.vn",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """The full steady-state pass: canonicalize+hash → keep-oldest dedup →
     politeness/robots schedule → fused extract.
 
-    Shuffle discipline (the 100 TB concern): the dedup window and the
-    politeness rank run on a NARROW projection (hash/host/ts — ~40 bytes/row)
-    so the wide ``html`` payload is never shuffled; the scheduled key set is
-    budget-bounded and broadcast back onto the page scan, which therefore
-    streams file-split-parallel straight into the Arrow extraction stage.
-    (First version shuffled html through both windows — 8× slower and it
+    Shuffle discipline (the 100 TB concern): the whole scheduling chain runs
+    on a NARROW projection (hash/host/ts — ~40 bytes/row) through exactly
+    ONE exchange — an explicit repartition on ``host``, which satisfies the
+    clustering the keep-oldest dedup agg (grouping on the superset
+    (host, url_hash)), the per-host pending-count window, and the politeness
+    rank window all require, so Catalyst inserts no further shuffles.  The
+    wide ``html`` payload never enters any of them: the budget-bounded
+    scheduled key set — two longs per row — is broadcast back onto the page
+    scan, which streams file-split-parallel straight into the Arrow
+    extraction stage.  (Round-1 shape paid three exchanges plus a 4-column
+    broadcast; round-0 shuffled html through the windows — 8× slower and it
     inverted the N→4N scaling.)"""
     # F5 html-validity gate (detail_crawler.py:39): ≤100-byte pages are not
     # real pages and never enter scheduling or extraction
     idx = with_url_hash(pages.filter(F.length("html") > 100), "url")
     meta = idx.select("url_hash", "canon_url", "host", "warc_ts")
-    winners = dedup_keep_first_agg(
-        meta, "url_hash", ["warc_ts", "canon_url"], ["host"]
-    )
-    frontier = classify_urls(winners, directory_host).withColumn(
+    meta = classify_urls(meta, directory_host).withColumn(
         "priority",
         F.when(F.col("kind") == "listing", 0).when(F.col("kind") == "detail", 1).otherwise(2),
-    ).withColumn("retry_count", F.lit(0))
-    scheduled, _deferred, _disallowed = politeness_schedule(
-        frontier, hosts, epoch_seconds=epoch_seconds
     )
-    keys = scheduled.select("url_hash", "warc_ts", "kind", "url_type")
-    fetched = idx.select("url_hash", "canon_url", "warc_ts", "html").join(
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    meta = meta.repartition(P, "host")  # the scheduling chain's ONE exchange
+    dd = dedup_keep_first_agg(
+        meta, ["host", "url_hash"], ["warc_ts", "canon_url"],
+        ["kind", "url_type", "priority"],
+    ).withColumn("retry_count", F.lit(0))
+    decided = politeness_decide(dd, hosts, epoch_seconds=epoch_seconds)
+    keys = decided.filter(F.col("decision") == "scheduled").select("url_hash", "warc_ts")
+    fetched = idx.select("url_hash", "canon_url", "host", "warc_ts", "html").join(
         F.broadcast(keys), on=["url_hash", "warc_ts"], how="inner"
     )
+    fetched = classify_urls(fetched, directory_host)
     return fetched.select(
         "url_hash", "canon_url", "kind", "url_type", "html"
     ).mapInPandas(_extract_batch, EXTRACT_ALL_SCHEMA)

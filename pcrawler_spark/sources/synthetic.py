@@ -58,6 +58,7 @@ class SyntheticCrawlConfig:
     schemeless_rate: float = 0.01   # urls missing https:// (canonicalizer)
     private_rate: float = 0.05      # robots-disallowed detail pages
     facebook_rate: float = 0.5      # companies that also have a fb page
+    deep_rate: float = 0.3          # emails only on a keyword-linked subpage
     zipf_exponent: float = 1.2
 
 
@@ -241,32 +242,85 @@ def _expected_details(cfg: SyntheticCrawlConfig, i: int, f: dict, urls: dict) ->
     }
 
 
-def _contact_doc(cfg: SyntheticCrawlConfig, i: int, f: dict, url_type: str) -> tuple[_Doc, List[str]]:
-    """Contact-page HTML + expected sorted valid-email list (FIXTURES §5b)."""
+def _contact_emails(cfg: SyntheticCrawlConfig, i: int, url_type: str) -> tuple[List[str], bool]:
+    """(template emails, has_invalid_decoys) for company i's contact site.
+
+    Domains must avoid 'example.com' — that substring is an invalid-email
+    anti-pattern in the reference (email_extractor.py:29)."""
     t = i % 5
-    d = _Doc()
-    d.raw("<html><body>")
-    d.raw("<h2>").text("Liên hệ " + f["company_name"]).raw("</h2>")
-    # note: domains must avoid 'example.com' — that substring is an invalid-
-    # email anti-pattern in the reference (email_extractor.py:29)
     dom = f"c{i}.example.vn" if url_type == "website" else f"fb{i}.mail.vn"
-    emails: List[str] = []
     if t == 0:
-        emails = [f"info@{dom}", f"sales@{dom}"]
-    elif t == 1:
-        emails = [f"hr.dept-{i}@{dom}"]
-    elif t == 2:
-        emails = []  # only invalids on the page
+        return [f"info@{dom}", f"sales@{dom}"], False
+    if t == 1:
+        return [f"hr.dept-{i}@{dom}"], False
+    if t == 2:
+        return [], True  # only invalids on the page
+    if t == 3:
+        return [f"e{k}@{dom}" for k in range(7)], False  # >5 → export caps at 5
+    return [f"info@{dom}"], False  # duplicated on page → distinct
+
+
+def _email_body(d: _Doc, cfg: SyntheticCrawlConfig, i: int, url_type: str) -> List[str]:
+    """Emit the template's email paragraphs into ``d``; returns the expected
+    sorted valid-email list."""
+    t = i % 5
+    dom = f"c{i}.example.vn" if url_type == "website" else f"fb{i}.mail.vn"
+    emails, invalids = _contact_emails(cfg, i, url_type)
+    if invalids:
         d.raw("<p>").text(f"noreply@{dom} test@example.com bot@12.34").raw("</p>")
-    elif t == 3:
-        emails = [f"e{k}@{dom}" for k in range(7)]  # >5 → export caps at 5
-    else:
-        emails = [f"info@{dom}"]  # duplicated on page → distinct
-        d.raw("<p>").text(f"info@{dom}").raw("</p>")
+    if t == 4:
+        d.raw("<p>").text(f"info@{dom}").raw("</p>")  # duplicate occurrence
     for e in emails:
         d.raw("<p>").text(f"Email: {e}").raw("</p>")
-    d.raw("</body></html>")
-    return d, sorted(set(emails))
+    return sorted(set(emails))
+
+
+def is_deep_contact(cfg: SyntheticCrawlConfig, i: int, url_type: str) -> bool:
+    """True when company i's emails live only on a keyword-linked subpage
+    (exercises the best-first deep email crawl, email_extractor.py:149-225)."""
+    return url_type == "website" and _u(cfg.seed, "deep", i) < cfg.deep_rate
+
+
+def _contact_docs(cfg: SyntheticCrawlConfig, i: int, f: dict, url_type: str,
+                  curl: str) -> List[tuple[str, _Doc, List[str], List[str]]]:
+    """Contact-site pages for one fetch target: [(url, doc, expected sorted
+    valid emails, expected followed out_links)].  For deep companies the
+    landing page carries only an invalid decoy plus three links — one
+    keyword-scored internal (followed), one unscored internal and one
+    keyword-scored EXTERNAL (both ignored) — and the emails live on the
+    /lienhe subpage (FIXTURES §5b)."""
+    host = curl.split("/")[2]
+    # real contact pages are never near-empty; the footer keeps every
+    # template above the reference's len(html) > 100 validity cutoff
+    # (detail_crawler.py:39) so the F5 gate only drops genuinely broken pages
+    footer = f"© {f['company_name']} — thông tin liên hệ chính thức"
+    if not is_deep_contact(cfg, i, url_type):
+        d = _Doc()
+        d.raw("<html><body>")
+        d.raw("<h2>").text("Liên hệ " + f["company_name"]).raw("</h2>")
+        emails = _email_body(d, cfg, i, url_type)
+        d.raw("<footer>").text(footer).raw("</footer>")
+        d.raw("</body></html>")
+        return [(curl, d, emails, [])]
+
+    sub_url = f"https://{host}/lienhe/{i}.html"
+    dom = f"c{i}.example.vn"
+    landing = _Doc()
+    landing.raw("<html><body>")
+    landing.raw("<h2>").text("Liên hệ " + f["company_name"]).raw("</h2>")
+    landing.raw("<p>").text(f"noreply@{dom}").raw("</p>")  # invalid decoy only
+    landing.raw(f'<a href="/lienhe/{i}.html">').text("Email contact").raw("</a>")
+    landing.raw(f'<a href="/san-pham/{i}.html">').text("Sản phẩm").raw("</a>")
+    landing.raw('<a href="https://elsewhere.example.vn/contact.html">').text("Contact").raw("</a>")
+    landing.raw("</body></html>")
+
+    sub = _Doc()
+    sub.raw("<html><body>")
+    sub.raw("<h3>").text("Thông tin liên hệ").raw("</h3>")
+    emails = _email_body(sub, cfg, i, url_type)
+    sub.raw("<footer>").text(footer).raw("</footer>")
+    sub.raw("</body></html>")
+    return [(curl, landing, [], [sub_url]), (sub_url, sub, emails, [])]
 
 
 def _listing_doc(cfg: SyntheticCrawlConfig, j: int, page: int, n_pages: int,
@@ -334,21 +388,21 @@ def _company_page_rows(cfg: SyntheticCrawlConfig, cdf: List[float], i: int
     for url_type, curl in (("website", urls["website"]), ("facebook", urls["facebook"])):
         if not curl:
             continue
-        cdoc, emails = _contact_doc(cfg, i, f, url_type)
-        pages.append({
-            "url": curl, "warc_ts": ts + timedelta(seconds=5),
-            "html": cdoc.html().encode("utf-8"), "text": cdoc.expected_text(),
-            "lang": _lang_for(cfg, i),
-        })
-        truths.append({
-            "url": curl, "kind": "contact", "url_type": url_type,
-            "company_id": i, "host": curl.split("/")[2], "is_private": False,
-            "company_name": f["company_name"], "company_url": urls["detail_url"],
-            "address": None, "phone": None, "website": None, "facebook": None,
-            "linkedin": None, "tiktok": None, "youtube": None, "instagram": None,
-            "industry": None, "created_year": None, "revenue": None, "scale": None,
-            "emails": emails, "out_links": [],
-        })
+        for off, (page_url, cdoc, emails, out_links) in enumerate(_contact_docs(cfg, i, f, url_type, curl)):
+            pages.append({
+                "url": page_url, "warc_ts": ts + timedelta(seconds=5 + off),
+                "html": cdoc.html().encode("utf-8"), "text": cdoc.expected_text(),
+                "lang": _lang_for(cfg, i),
+            })
+            truths.append({
+                "url": page_url, "kind": "contact", "url_type": url_type,
+                "company_id": i, "host": page_url.split("/")[2], "is_private": False,
+                "company_name": f["company_name"], "company_url": urls["detail_url"],
+                "address": None, "phone": None, "website": None, "facebook": None,
+                "linkedin": None, "tiktok": None, "youtube": None, "instagram": None,
+                "industry": None, "created_year": None, "revenue": None, "scale": None,
+                "emails": emails, "out_links": out_links,
+            })
     return pages, truths
 
 
@@ -425,10 +479,15 @@ def generate_crawl_corpus(cfg: SyntheticCrawlConfig | None = None) -> dict[str, 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_spark_df(spark, cfg: SyntheticCrawlConfig | None = None):
+def pages_spark_df(spark, cfg: SyntheticCrawlConfig | None = None,
+                   num_files: int | None = None):
     """Distributed generation: company-derived pages are built on executors
     via mapInPandas over an id range (scales to 10^7+ rows without touching
-    the driver); the few listing pages are unioned in from the driver."""
+    the driver); the few listing pages are unioned in from the driver.
+
+    ``num_files`` controls the output fan-out: a CPU-bound Arrow extraction
+    stage wants MANY small splits (multiple task waves per core, short
+    straggler tail), so benches write ~4 files per core instead of one."""
     cfg = cfg or SyntheticCrawlConfig()
     cdf = _zipf_cdf(cfg.n_hosts, cfg.zipf_exponent)
     cfg_d, cdf_d = cfg, list(cdf)
@@ -451,5 +510,5 @@ def pages_spark_df(spark, cfg: SyntheticCrawlConfig | None = None):
     # lands in one driver-side partition → one straggler task dominates the
     # extraction stage (observed: 32-wide stage degraded to a 35 s tail)
     return company_pages.unionByName(listing_pages).repartition(
-        n_parts, F.xxhash64("url")
+        num_files or n_parts, F.xxhash64("url")
     )

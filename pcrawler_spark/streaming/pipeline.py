@@ -68,18 +68,33 @@ def fetch_metrics_stream(pages_stream: DataFrame,
 
 def run_extract_to_parquet(spark: SparkSession, input_dir: str, output_dir: str,
                            checkpoint_dir: str, available_now: bool = True):
-    """Stream pages → fused extraction → parquet sink, exactly-once via the
-    streaming checkpoint; dedup against prior batches happens inside
-    foreachBatch with the same anti-join discipline as the epoch engine."""
+    """Stream pages → fused extraction → parquet sink with EFFECTIVE
+    exactly-once output on top of foreachBatch's at-least-once contract:
+
+    * each micro-batch writes to its own ``batch_id=<k>`` partition dir with
+      mode('overwrite') — a replayed batch (crash between sink write and
+      checkpoint commit) overwrites its own output instead of appending
+      duplicate rows;
+    * a url_hash arriving again in a LATER batch is dropped by an anti-join
+      against the already-committed partitions (same discipline as the epoch
+      engine's frontier ∖ seen).
+    """
     out = extract_stream(read_pages_stream(spark, input_dir))
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.dropDuplicates(["url_hash"])
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+        sp = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(["url_hash"])
+        try:
+            prior = (
+                sp.read.option("basePath", output_dir).parquet(output_dir)
+                # a replayed batch must not anti-join against its own rows
+                .filter(F.col("batch_id") != batch_id)
+                .select("url_hash")
+            )
+            batch_df = batch_df.join(prior, on="url_hash", how="left_anti")
+        except Exception:
+            pass  # nothing committed yet
+        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     writer = out.writeStream.foreachBatch(commit).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -1,0 +1,51 @@
+"""The checked-in oracle fixtures must stay in sync with the synthetic
+generator: regenerate in-memory and compare.  Fails → rerun
+``python fixtures/make_fixtures.py`` and commit."""
+
+import os
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIX = os.path.join(REPO, "fixtures")
+sys.path.insert(0, FIX)
+
+
+def test_fixtures_match_generator():
+    import make_fixtures as mf
+    from pcrawler_spark.kernels import canonicalize_url
+    from pcrawler_spark.kernels.urlnorm import url_host
+    from pcrawler_spark.sources.synthetic import generate_crawl_corpus
+
+    corpus = generate_crawl_corpus(mf.CFG)
+    truth, pages = corpus["truth"], corpus["pages"]
+
+    detail = truth[truth.kind == "detail"].copy()
+    detail["canon_url"] = detail.url.map(canonicalize_url)
+    want32 = detail[[
+        "canon_url", "company_name", "address", "phone", "website", "facebook",
+        "linkedin", "tiktok", "youtube", "instagram", "industry",
+        "created_year", "revenue", "scale",
+    ]].sort_values("canon_url").reset_index(drop=True)
+    want32 = want32.astype({c: "string" for c in want32.columns})
+    got32 = pd.read_parquet(os.path.join(FIX, "q32_details_truth.parquet"))
+    pd.testing.assert_frame_equal(got32.astype({c: "string" for c in got32.columns}), want32)
+
+    pt = pages[["url", "text"]].copy()
+    pt["canon_url"] = pt.url.map(canonicalize_url)
+    want33 = pt.drop_duplicates("canon_url")[["canon_url", "text"]].sort_values(
+        "canon_url").reset_index(drop=True)
+    got33 = pd.read_parquet(os.path.join(FIX, "q33_text_truth.parquet"))
+    pd.testing.assert_frame_equal(got33, want33)
+
+    fr = pages[["url"]].copy()
+    fr["canon_url"] = fr.url.map(canonicalize_url)
+    fr = fr.dropna(subset=["canon_url"]).drop_duplicates("canon_url")
+    fr["host"] = fr.canon_url.map(url_host)
+    fr["priority"] = 1
+    fr["retry_count"] = 0
+    want34 = fr[["canon_url", "host", "priority", "retry_count"]].sort_values(
+        "canon_url").reset_index(drop=True)
+    got34 = pd.read_parquet(os.path.join(FIX, "q34_frontier.parquet"))
+    pd.testing.assert_frame_equal(got34, want34)

@@ -1,0 +1,89 @@
+"""Golden parity for the DOM layer against lxml ``text_content()`` semantics.
+
+Round-1 gap: the text byte-identity invariant was only tested against the
+repo's OWN synthetic generator (which applies the same documented rule), so
+a shared misunderstanding of lxml semantics would pass silently.  This
+fixture breaks that circularity: the expected strings below are derived by
+hand from lxml's public, documented string-value semantics (lxml.html
+``text_content()`` = XPath string(): concatenation of all descendant text
+nodes in document order, NO normalization, comments/PIs contribute nothing,
+script/style text IS included) and from libxml2's entity handling — they
+were NOT produced by running this repo's code.
+
+Corpus contract caveat: pages are well-formed; libxml2's error recovery for
+wildly malformed HTML (e.g. auto-closing ``<p>``) is out of scope and not
+asserted here.
+"""
+
+from pcrawler_spark.html import parse_html
+from pcrawler_spark.kernels import extract_text
+
+# (html, lxml text_content() of the root element)
+GOLDEN_TEXT_CONTENT = [
+    # nesting + tails interleave in document order
+    ("<div>a<b>b</b>c<i>d</i>e</div>", "abcde"),
+    # whitespace is NOT normalized by text_content
+    ("<p> a  b \n c </p>", " a  b \n c "),
+    # comments contribute nothing, but their tails do
+    ("<div>a<!-- hidden -->b</div>", "ab"),
+    # script/style text IS part of lxml's string-value
+    ("<div>x<script>var y=1;</script>z</div>", "xvar y=1;z"),
+    ("<div><style>.a{color:red}</style>t</div>", ".a{color:red}t"),
+    # character and numeric entity references resolve
+    ("<p>Fish &amp; Chips &#65; &lt;tag&gt;</p>", "Fish & Chips A <tag>"),
+    # &nbsp; becomes U+00A0, not a plain space
+    ("<p>a&nbsp;b</p>", "a b"),
+    # empty elements and attributes-only elements yield nothing
+    ('<div><img src="x.png"/><br/></div>', ""),
+    # deep nesting
+    ("<a><b><c>core</c></b>tail</a>", "coretail"),
+    # unicode text passes through untouched
+    ("<h1>Công ty TNHH — Đà Nẵng ✓</h1>", "Công ty TNHH — Đà Nẵng ✓"),
+    # mixed content with self-closing void elements between text nodes
+    ("<p>line1<br/>line2</p>", "line1line2"),
+    # CDATA-like content in regular elements is plain text
+    ("<td>5 &gt; 3 &amp;&amp; 2 &lt; 4</td>", "5 > 3 && 2 < 4"),
+]
+
+# (html, engine extract_text) — the ENGINE's documented page-text rule
+# (stripped text nodes, document order, \n-joined, script/style skipped),
+# hand-derived expectations for the same inputs
+GOLDEN_PAGE_TEXT = [
+    ("<div>a<b>b</b>c<i>d</i>e</div>", "a\nb\nc\nd\ne"),
+    ("<p> a  b \n c </p>", "a  b \n c"),
+    ("<div>a<!-- hidden -->b</div>", "a\nb"),
+    ("<div>x<script>var y=1;</script>z</div>", "x\nz"),   # rule skips script
+    ("<p>Fish &amp; Chips</p>", "Fish & Chips"),
+    ("<p>a&nbsp;b</p>", "a b"),
+    ("<h1>Công ty TNHH — Đà Nẵng ✓</h1>", "Công ty TNHH — Đà Nẵng ✓"),
+]
+
+
+def test_text_content_matches_lxml_semantics():
+    bad = []
+    for html, want in GOLDEN_TEXT_CONTENT:
+        root = parse_html(html)
+        got = root.text_content()
+        if got != want:
+            bad.append((html, got, want))
+    assert not bad, bad
+
+
+def test_extract_text_documented_rule():
+    bad = []
+    for html, want in GOLDEN_PAGE_TEXT:
+        got = extract_text(html)
+        if got != want:
+            bad.append((html, got, want))
+    assert not bad, bad
+
+
+def test_field_extraction_strip_contract():
+    """Reference fields are el.text_content().strip() — whitespace padding
+    inside the element must not leak into extracted fields."""
+    from pcrawler_spark.html import xpath
+
+    html = '<ul class="company-details"><li><label>Thành lập</label><span>  1999 </span></li></ul>'
+    root = parse_html(html)
+    spans = xpath(root, "//li/span")
+    assert spans and spans[0].text_content().strip() == "1999"

@@ -121,3 +121,162 @@ def test_error_url_filter(spark):
     assert errors == {2, 3, 4, 6, 7}
     clean = {r["id"] for r in error_url_filter(df, "url", keep="clean").collect()}
     assert clean == {1, 5, 8}
+
+
+# ---------------------------------------------------------------------------
+# round-2 engine behaviors: deep email crawl, give-up retirement, compaction,
+# per-epoch job discipline
+# ---------------------------------------------------------------------------
+
+import tempfile
+
+from pcrawler_spark.plans import CrawlEngine, CrawlRunConfig
+from pcrawler_spark.sources.synthetic import SyntheticCrawlConfig, generate_crawl_corpus, is_deep_contact
+
+
+def _spark_corpus(spark, cfg):
+    corpus = generate_crawl_corpus(cfg)
+    pages = spark.createDataFrame(
+        corpus["pages"], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    hosts = spark.createDataFrame(
+        corpus["hosts"],
+        "host string, crawl_delay_s double, robots_disallow array<string>, max_parallel int",
+    )
+    seeds = spark.createDataFrame(corpus["seeds"], "url string, priority int, industry string")
+    return corpus, pages, hosts, seeds
+
+
+def test_deep_email_crawl_finds_subpage_emails(spark, tmp_path):
+    """Emails that exist ONLY on a /lienhe subpage (never on the contact
+    landing page) are found via the best-first keyword crawl and reach the
+    final export attributed to the right company."""
+    cfg = SyntheticCrawlConfig(n_companies=40, n_industries=2, n_hosts=6, deep_rate=0.5)
+    corpus, pages, hosts, seeds = _spark_corpus(spark, cfg)
+    truth = corpus["truth"]
+    sub_truth = truth[truth.url.str.contains("/lienhe/")]
+    # companies whose detail page is robots-private are never crawled at
+    # all — their contact sites are legitimately unreached
+    private_ids = set(truth[(truth.kind == "detail") & truth.is_private].company_id)
+    deep_with_emails = sub_truth[
+        (sub_truth.emails.map(len) > 0) & (~sub_truth.company_id.isin(private_ids))
+    ]
+    assert len(deep_with_emails) > 0, "corpus must contain deep-email companies"
+
+    engine = CrawlEngine(
+        spark, pages, hosts,
+        CrawlRunConfig(state_dir=str(tmp_path / "st"), epoch_seconds=120.0),
+    )
+    engine.run(seeds)
+    emails = engine.emails().toPandas()
+    by_url = emails.set_index("canon_url")
+    for t in deep_with_emails.itertuples():
+        got = list(by_url.loc[t.url, "emails"])
+        assert got == list(t.emails), f"{t.url}: {got} != {t.emails}"
+    # and the export carries them under the company
+    exp = engine.export().toPandas()
+    t0 = deep_with_emails.iloc[0]
+    company_rows = exp[exp.name == t0.company_name]
+    assert set(t0.emails[:5]) <= set(company_rows.email), (
+        f"{t0.company_name}: export emails {set(company_rows.email)} missing {t0.emails}"
+    )
+
+
+def test_deep_crawl_depth_bound(spark, tmp_path):
+    """contact_max_depth=0 disables subpage expansion: subpage emails are
+    NOT found, landing pages still are."""
+    cfg = SyntheticCrawlConfig(n_companies=30, n_industries=2, n_hosts=5, deep_rate=0.5)
+    corpus, pages, hosts, seeds = _spark_corpus(spark, cfg)
+    engine = CrawlEngine(
+        spark, pages, hosts,
+        CrawlRunConfig(state_dir=str(tmp_path / "st"), epoch_seconds=120.0,
+                       contact_max_depth=0),
+    )
+    engine.run(seeds)
+    emails = engine.emails().toPandas()
+    assert not emails.canon_url.str.contains("/lienhe/").any()
+    assert len(emails) > 0
+
+
+def test_gave_up_retires_permanently_failing_urls(spark, tmp_path):
+    """A URL that keeps failing past max_retries gets a 'gave_up' seen row
+    and the frontier drains (no livelock)."""
+    cfg = SyntheticCrawlConfig(n_companies=30, n_industries=2, n_hosts=5)
+    corpus, pages, hosts, seeds = _spark_corpus(spark, cfg)
+    # simulate a permanently-missing page: drop some detail pages from the
+    # store entirely -> those urls become 'missing' seen rows (retired), and
+    # separately force flaky failures with max_retries=0 so first-attempt
+    # failures exceed the retry budget immediately -> 'gave_up'
+    engine = CrawlEngine(
+        spark, pages, hosts,
+        CrawlRunConfig(state_dir=str(tmp_path / "st"), epoch_seconds=120.0,
+                       simulate_flaky_rate=0.3, max_retries=0),
+    )
+    metrics = engine.run(seeds)
+    seen = engine.seen().toPandas()
+    assert (seen.reason == "gave_up").sum() > 0
+    assert engine._pending().count() == 0, "gave-up URLs must not stay pending"
+    assert seen.url_hash.is_unique
+
+
+def test_compaction_preserves_state_and_bounds_dirs(spark, tmp_path):
+    """compact_every merges seen/frontier epoch dirs; final state identical
+    to the uncompacted run and resume still works."""
+    import os
+
+    cfg = SyntheticCrawlConfig(n_companies=40, n_industries=2, n_hosts=6)
+    corpus, pages, hosts, seeds = _spark_corpus(spark, cfg)
+    finals = {}
+    for name, every in (("plain", None), ("compact", 1)):
+        engine = CrawlEngine(
+            spark, pages, hosts,
+            CrawlRunConfig(state_dir=str(tmp_path / name), epoch_seconds=30.0,
+                           compact_every=every),
+        )
+        engine.run(seeds)
+        finals[name] = {
+            "seen": sorted(r.url_hash for r in engine.seen().select("url_hash").collect()),
+            "records": sorted(r.canon_url for r in engine.records().select("canon_url").collect()),
+        }
+        if name == "compact":
+            seen_dirs = [d for d in os.listdir(tmp_path / name / "seen") if d.startswith("epoch=")]
+            assert len(seen_dirs) <= 2, f"compaction left {len(seen_dirs)} seen dirs"
+            # resume on the compacted state is a no-op returning cleanly
+            engine2 = CrawlEngine(
+                spark, pages, hosts,
+                CrawlRunConfig(state_dir=str(tmp_path / name), epoch_seconds=30.0),
+            )
+            assert engine2.run() == []
+            assert sorted(r.url_hash for r in engine2.seen().select("url_hash").collect()) == finals[name]["seen"]
+    assert finals["plain"]["seen"] == finals["compact"]["seen"]
+    assert finals["plain"]["records"] == finals["compact"]["records"]
+
+
+def test_epoch_job_discipline(spark, tmp_path, monkeypatch):
+    """One epoch performs at most 2 driver-side metric actions (round 1 ran
+    8 separate count jobs per epoch): one groupBy('decision') collect and
+    one groupBy('kind') collect — no .count()/.toPandas() anywhere."""
+    from pyspark.sql import DataFrame
+
+    cfg = SyntheticCrawlConfig(n_companies=30, n_industries=2, n_hosts=5)
+    corpus, pages, hosts, seeds = _spark_corpus(spark, cfg)
+    engine = CrawlEngine(
+        spark, pages, hosts,
+        CrawlRunConfig(state_dir=str(tmp_path / "st"), epoch_seconds=120.0),
+    )
+    engine.catalog.rollback_uncommitted()
+    engine.init_frontier(seeds)
+    calls = {"collect": 0, "count": 0, "toPandas": 0}
+    orig = {k: getattr(DataFrame, k) for k in calls}
+
+    def make(k):
+        def wrapper(self, *a, **kw):
+            calls[k] += 1
+            return orig[k](self, *a, **kw)
+        return wrapper
+
+    for k in calls:
+        monkeypatch.setattr(DataFrame, k, make(k))
+    assert engine.run_epoch(1) is not None
+    assert calls["count"] == 0 and calls["toPandas"] == 0, calls
+    assert calls["collect"] <= 2, calls
