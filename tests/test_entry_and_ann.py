@@ -34,3 +34,36 @@ def test_ivf_recall_vs_bruteforce(spark):
     for r in ivf:
         if (r.query_id, r.neighbor_id) in bf_cos:
             assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_hyperplane_lsh_recall_on_near_dups(spark):
+    """Random-hyperplane LSH must recover (nearly) all true near-duplicate
+    pairs on a clustered corpus: vectors that are small perturbations of a
+    base direction have tiny angles, so their sign signatures agree within
+    the Hamming budget."""
+    import math
+
+    from pcrawler_spark.operators.knn import cosine_near_pairs, hyperplane_lsh_pairs
+
+    def vec(base_seed, jitter_seed, eps):
+        # deterministic pseudo-random unit-ish vectors
+        base = [math.sin(0.7 * base_seed * (i + 1)) for i in range(16)]
+        return [b + eps * math.sin(2.3 * jitter_seed * (i + 3)) for i, b in enumerate(base)]
+
+    rows = []
+    vid = 0
+    for cluster in range(5):
+        for member in range(4):  # 4 near-identical vectors per cluster
+            rows.append((vid, vec(cluster + 1, member + 1, 0.02)))
+            vid += 1
+    for k in range(20):  # unrelated noise vectors
+        rows.append((vid, vec(100 + 7 * k, k + 1, 0.8)))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.id_a, r.id_b) for r in cosine_near_pairs(df, threshold=0.98).collect()}
+    lsh = {(r.id_a, r.id_b) for r in hyperplane_lsh_pairs(df, threshold=0.98,
+                                                          n_bits=16, max_hamming=4).collect()}
+    assert len(exact) >= 20, "clusters must produce true near-dup pairs"
+    assert lsh <= exact  # the exact-cosine filter admits no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall}: {len(lsh)}/{len(exact)}"

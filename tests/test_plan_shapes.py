@@ -89,3 +89,79 @@ def test_dedup_agg_is_partial(spark):
     # min(struct) is sort-based, but still partial+final around one exchange
     assert "partial_min" in plan  # map-side combine before the shuffle
     assert "Window" not in plan
+
+
+def _corpus_frames(spark, n=30):
+    from pcrawler_spark.sources.synthetic import SyntheticCrawlConfig, generate_crawl_corpus
+
+    corpus = generate_crawl_corpus(SyntheticCrawlConfig(n_companies=n, n_industries=3, n_hosts=5))
+    pages = spark.createDataFrame(
+        corpus["pages"], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    hosts = spark.createDataFrame(
+        corpus["hosts"],
+        "host string, crawl_delay_s double, robots_disallow array<string>, max_parallel int",
+    )
+    return pages, hosts
+
+
+def test_singlepass_single_exchange_scheduling(spark):
+    """The fused pass's scheduling chain must plan exactly ONE shuffle
+    (repartition on host) and the fetch join must be a broadcast of the
+    keys side — the wide pages scan is never exchanged."""
+    from pcrawler_spark.plans.singlepass import schedule_and_extract
+
+    import re
+
+    pages, hosts = _corpus_frames(spark)
+    out = schedule_and_extract(spark, pages, hosts)
+    plan = plan_of(out)
+    # formatted explain lists shuffle nodes as "(N) Exchange" (broadcast is
+    # its own "BroadcastExchange" node)
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_shuffles == 1, f"expected 1 shuffle in the fused pass, got {n_shuffles}:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(host" in plan  # and it is the host repartition
+    assert "html" not in plan.split("Arguments: hashpartitioning(host")[1].split("\n")[0]
+
+
+def test_bucketed_pagestore_no_broadcast_no_pages_shuffle(spark, tmp_path):
+    """The 10^10-scale fetch path: bucketed pages table joined with the
+    scheduled keys — NO broadcast, NO exchange on the pages side (only the
+    keys side shuffles into the bucket layout)."""
+    from pcrawler_spark.plans.pagestore import fetch_join_bucketed, write_bucketed_pages
+
+    import shutil
+
+    pages, hosts = _corpus_frames(spark, n=40)
+    spark.sql("DROP TABLE IF EXISTS bucketed_pages_test")
+    # a crashed earlier run can leave the managed-table dir without a
+    # metastore entry; saveAsTable then refuses (LOCATION_ALREADY_EXISTS)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/bucketed_pages_test", ignore_errors=True)
+    write_bucketed_pages(pages, "bucketed_pages_test", n_buckets=8)
+    # a deterministic subset of real keys plus some misses (no limit():
+    # GlobalLimit would add its own SinglePartition exchange on the keys
+    # side and muddy the shuffle count)
+    keys = (
+        spark.table("bucketed_pages_test")
+        .select("url_hash")
+        .filter(F.pmod("url_hash", F.lit(3)) == 0)
+        .union(spark.range(5).select(F.xxhash64("id").alias("url_hash")))
+    )
+    n_expected = keys.count() - 5
+    joined = fetch_join_bucketed(spark, "bucketed_pages_test", keys)
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # exactly one shuffle node, and it moves the KEYS side (no html in it)
+    import re
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_shuffles <= 1, plan
+    for m in re.finditer(r"Arguments: hashpartitioning\([^\n]*", plan):
+        assert "html" not in m.group(0)
+    # the pages-side scan must report the bucket layout
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    # correctness: bucketed join returns the matching rows
+    assert joined.count() == n_expected
+    spark.sql("DROP TABLE IF EXISTS bucketed_pages_test")
