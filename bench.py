@@ -291,9 +291,11 @@ def main() -> None:
             f"Engine efficiency / raw ceiling = **{scaling['efficiency_vs_raw_ceiling']}**.\n"
             "Engine throughput vs raw kernels at the SAME core count: "
             f"{scaling['engine_vs_raw_throughput']['low_4_cores']}× at 4 cores, "
-            f"{scaling['engine_vs_raw_throughput']['high_16_cores']}× at 16 — the\n"
-            "engine adds ~no overhead on top of the kernels; what the efficiency\n"
-            "number measures is the host, not the plan.\n\n"
+            f"{scaling['engine_vs_raw_throughput']['high_16_cores']}× at 16.\n"
+            "(The engine additionally schedules, dedups, applies politeness and\n"
+            "moves Arrow batches; the raw loop only extracts.  The ratio being\n"
+            "the SAME at both core counts is the point: the overhead is flat,\n"
+            "so the scaling number measures the host, not the plan.)\n\n"
             "Remaining engine-side fixed cost per pass: the one-exchange scheduling\n"
             "chain + scheduled-key broadcast (~2-3 s) — amortizes with epoch size;\n"
             "at the 10^10-URL design point an epoch is minutes long (<1%).\n\n"

@@ -36,6 +36,7 @@ def politeness_decide(
     hosts: DataFrame,
     epoch_seconds: float = 60.0,
     order_cols=("priority", "retry_count", "url_hash"),
+    salted_rank_partitions: int | None = None,
 ) -> DataFrame:
     """Annotate a pending frontier with a ``decision`` column
     (scheduled | deferred | disallowed) in ONE plan — the caller gets every
@@ -48,6 +49,16 @@ def politeness_decide(
     over-budget hosts pay the per-host rank sort — crucial on a Zipf frontier
     where the mega-host's window would otherwise be one serial
     multi-hundred-MB sort task regardless of cluster size.
+
+    ``salted_rank_partitions``: the 10^10-scale skew defusal (north_rule's
+    "salted repartitioning").  A mega-host with 10^8 pending rows makes even
+    the rank window one serial sort task; with salting the rank runs in two
+    budget-bounded phases — a local rank inside (host, salt) partitions
+    prunes everything past the budget (a row outside the local top-budget
+    cannot be inside the global top-budget), then the ≤ salt×budget
+    survivors per host take the exact global rank.  Decisions are IDENTICAL
+    to the unsalted path (equivalence pytest); the price is one extra small
+    exchange, so the default (None) keeps the single-exchange plan.
     """
     policy = F.broadcast(
         hosts.select(
@@ -77,6 +88,44 @@ def politeness_decide(
         )
     ).cast("long")
     df = df.withColumn("_budget", budget)
+    drop = ["_path", "_disallowed", "_rank", "_budget", "_n_pending",
+            "crawl_delay_s", "max_parallel", "robots_disallow"]
+
+    if salted_rank_partitions:
+        # phase 1: local rank inside (host, salt) — prunes to ≤ salt×budget
+        # survivors per host without ever sorting a whole mega-host
+        k = int(salted_rank_partitions)
+        df = df.withColumn("_salt", F.pmod(F.xxhash64("url_hash"), F.lit(k)))
+        local_w = (
+            Window.partitionBy("host", "_salt")
+            .orderBy(*[F.col(c).asc() for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df = df.withColumn(
+            "_lrank", F.sum(F.when(F.col("_disallowed"), 0).otherwise(1)).over(local_w)
+        )
+        survivors = df.filter(~F.col("_disallowed") & (F.col("_lrank") <= F.col("_budget")))
+        pruned = df.filter(F.col("_disallowed") | (F.col("_lrank") > F.col("_budget")))
+        # phase 2: exact global rank over the budget-bounded survivor set
+        global_w = (
+            Window.partitionBy("host")
+            .orderBy(*[F.col(c).asc() for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        survivors = survivors.withColumn("_rank", F.sum(F.lit(1)).over(global_w))
+        decided = survivors.withColumn(
+            "decision",
+            F.when(F.col("_rank") <= F.col("_budget"), F.lit("scheduled"))
+            .otherwise(F.lit("deferred")),
+        ).unionByName(
+            pruned.withColumn(
+                "decision",
+                F.when(F.col("_disallowed"), F.lit("disallowed")).otherwise(F.lit("deferred")),
+            ),
+            allowMissingColumns=True,
+        )
+        return decided.drop(*drop, "_salt", "_lrank")
+
     # pending-per-host count and the over-budget rank share one exchange on
     # host; the rank is a running count of ALLOWED rows in politeness order
     # (row_number would let disallowed rows consume rank slots), total order
@@ -99,8 +148,6 @@ def politeness_decide(
         .when(F.col("_rank") <= F.col("_budget"), F.lit("scheduled"))
         .otherwise(F.lit("deferred"))
     )
-    drop = ["_path", "_disallowed", "_rank", "_budget", "_n_pending",
-            "crawl_delay_s", "max_parallel", "robots_disallow"]
     return df.withColumn("decision", decision).drop(*drop)
 
 

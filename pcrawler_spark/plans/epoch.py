@@ -94,6 +94,10 @@ class CrawlRunConfig:
     # long crawls otherwise accrue one directory per epoch and the
     # per-epoch scheduling scan degrades into a file-listing storm
     compact_every: int | None = None
+    # two-phase salted politeness rank (north_rule host-skew defusal): set
+    # to ~cluster-cores when a mega-host's pending set outgrows one task's
+    # sort; None keeps the single-exchange scheduling plan
+    salted_rank_partitions: int | None = None
 
 
 class CrawlEngine:
@@ -186,6 +190,7 @@ class CrawlEngine:
         decided = politeness_decide(
             pending, self.hosts, epoch_seconds=cfgc.epoch_seconds,
             order_cols=("priority", "retry_count", "url_hash"),
+            salted_rank_partitions=cfgc.salted_rank_partitions,
         )
 
         # circuit breaker: hosts that tripped in the cooldown window are

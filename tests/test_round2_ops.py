@@ -280,3 +280,39 @@ def test_epoch_job_discipline(spark, tmp_path, monkeypatch):
     assert engine.run_epoch(1) is not None
     assert calls["count"] == 0 and calls["toPandas"] == 0, calls
     assert calls["collect"] <= 2, calls
+
+
+def test_salted_rank_equivalence(spark):
+    """Two-phase salted politeness rank (host-skew defusal) must produce
+    EXACTLY the same decisions as the single-window rank on a skewed
+    frontier with over- and under-budget hosts plus robots disallows."""
+    from pcrawler_spark.operators.politeness import politeness_decide
+
+    rows = []
+    # mega host: 500 pending (budget will be 40) incl. disallowed paths
+    for i in range(500):
+        path = "/private/x" if i % 7 == 0 else f"/p/{i}"
+        rows.append((f"https://mega.vn{path}", "mega.vn", i % 3, i % 2, i * 1000 + 7))
+    # small host: 5 pending (under budget)
+    for i in range(5):
+        rows.append((f"https://small.vn/p/{i}", "small.vn", 1, 0, 900000 + i))
+    frontier = spark.createDataFrame(
+        rows, "canon_url string, host string, priority int, retry_count int, url_hash long"
+    )
+    hosts = spark.createDataFrame(
+        [("mega.vn", 1.0, ["/private"], 2), ("small.vn", 1.0, [], 1)],
+        "host string, crawl_delay_s double, robots_disallow array<string>, max_parallel int",
+    )
+    def decisions(**kw):
+        out = politeness_decide(frontier, hosts, epoch_seconds=20.0, **kw)
+        return sorted((r.url_hash, r.decision) for r in out.collect())
+
+    plain = decisions()
+    salted = decisions(salted_rank_partitions=8)
+    assert plain == salted
+    counts = {}
+    for _, d in plain:
+        counts[d] = counts.get(d, 0) + 1
+    assert counts["scheduled"] == 40 + 5  # mega budget 20*2, small all 5
+    assert counts["disallowed"] == len([i for i in range(500) if i % 7 == 0])
+    assert counts["deferred"] == 505 - counts["scheduled"] - counts["disallowed"]
