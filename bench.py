@@ -93,10 +93,17 @@ def hosts_df(spark, n_companies: int):
 
 
 def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
-                   cores_per_executor: int = 4, runs: int = 4) -> dict:
+                   cores_per_executor: int = 4, runs: int = 2,
+                   warm_frac_mod: int | None = 8) -> dict:
     """Fused schedule+extract pass on a local-cluster of real executor JVMs
     (separate heaps + python worker pools — the honest stand-in for N
-    executors; local[N] threads share one JVM and understate scaling)."""
+    executors; local[N] threads share one JVM and understate scaling).
+
+    ``warm_frac_mod``: warm the session (Python workers import the shipped
+    zip, codegen JITs, parquet footers cache) on a hash-sampled ~1/mod of
+    the corpus — a distributed subset pass that touches every executor
+    (``limit()`` would collapse the warm-up to one task on one worker);
+    None = full-corpus warm-up."""
     from pcrawler_spark.session import get_spark
     from pcrawler_spark.plans.singlepass import schedule_and_extract
 
@@ -116,12 +123,14 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
         },
     )
     try:
+        from pyspark.sql import functions as F
+
         pages = spark.read.parquet(corpus_path)
         hosts = hosts_df(spark, n_companies)
-        # warm-up: one full pass spins up every Python worker (each imports
-        # the shipped package zip), JITs the codegen, and caches parquet
-        # footers — the steady state is what a long crawl actually runs at
-        schedule_and_extract(spark, pages, hosts).count()
+        warm = pages if warm_frac_mod is None else pages.filter(
+            F.pmod(F.xxhash64("url"), F.lit(warm_frac_mod)) == 0
+        )
+        schedule_and_extract(spark, warm, hosts).count()
         walls = []
         for _ in range(runs):
             # GC debt from the previous pass otherwise leaks into this one
@@ -131,17 +140,14 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
             t0 = time.time()
             n = schedule_and_extract(spark, pages, hosts).count()
             walls.append(time.time() - t0)
-        wall = min(walls)  # steady-state capability; max-min spread reported
         return {"executors": n_executors, "cores": n_executors * cores_per_executor,
-                "urls": n, "wall_s": round(wall, 3),
-                "wall_spread_s": round(max(walls) - min(walls), 3),
-                "walls_s": [round(w, 3) for w in walls],
-                "urls_per_sec": round(n / wall, 1)}
+                "urls": n, "walls_s": [round(w, 3) for w in walls]}
     finally:
         spark.stop()
 
 
-def raw_python_control(corpus_path: str, procs_levels=(4, 16), limit: int = 120_000) -> dict:
+def raw_python_control(corpus_path: str, procs_levels=(4, 16), limit: int = 120_000,
+                       reps: int = 3) -> dict:
     """No-Spark control: the SAME extraction kernels over the SAME pages via
     multiprocessing.Pool at both core counts.  Whatever efficiency THIS loses
     going N→4N is the host's shared-memory-bandwidth ceiling, not engine
@@ -168,7 +174,7 @@ def raw_python_control(corpus_path: str, procs_levels=(4, 16), limit: int = 120_
             for i in range(0, len(urls), step)
         ]
         walls = []
-        for _ in range(3):
+        for _ in range(reps):
             with mp.Pool(procs) as pool:
                 t0 = time.time()
                 total = sum(pool.map(_raw_work, chunks))
@@ -231,15 +237,52 @@ def main() -> None:
 
     # scaling evidence: same job, N vs 4N executor JVMs (1×4 vs 4×4 cores —
     # the high level deliberately leaves machine headroom so shared memory
-    # bandwidth doesn't masquerade as engine overhead; see BENCH.md)
-    lo = run_throughput(1, corpus_path, n_companies)
-    hi = run_throughput(4, corpus_path, n_companies)
+    # bandwidth doesn't masquerade as engine overhead; see BENCH.md).
+    # lo/hi rounds are INTERLEAVED: this host's throughput drifts over
+    # minutes (shared hardware), and measuring all-lo-then-all-hi bakes the
+    # drift straight into the ratio (observed 0.62 vs 0.88 across two
+    # back-to-back uninterleaved invocations); with alternating rounds the
+    # min walls of both levels sample the same host windows
+    rounds = []
+    lo_walls, hi_walls = [], []
+    raw_runs = []
+    n_urls = 0
+    for rnd in range(3):
+        lo_r = run_throughput(1, corpus_path, n_companies, runs=2)
+        hi_r = run_throughput(4, corpus_path, n_companies, runs=2)
+        n_urls = hi_r["urls"]
+        lo_walls += lo_r["walls_s"]
+        hi_walls += hi_r["walls_s"]
+        raw_runs.append(raw_python_control(corpus_path, reps=1))
+        rounds.append({
+            "lo_walls_s": lo_r["walls_s"], "hi_walls_s": hi_r["walls_s"],
+            "pair_efficiency": round(min(lo_r["walls_s"]) / (4 * min(hi_r["walls_s"])), 3),
+            "raw_efficiency": raw_runs[-1]["efficiency"],
+        })
+    lo = {"executors": 1, "cores": 4, "urls": n_urls,
+          "wall_s": round(min(lo_walls), 3),
+          "wall_spread_s": round(max(lo_walls) - min(lo_walls), 3),
+          "walls_s": lo_walls,
+          "urls_per_sec": round(n_urls / min(lo_walls), 1)}
+    hi = {"executors": 4, "cores": 16, "urls": n_urls,
+          "wall_s": round(min(hi_walls), 3),
+          "wall_spread_s": round(max(hi_walls) - min(hi_walls), 3),
+          "walls_s": hi_walls,
+          "urls_per_sec": round(n_urls / min(hi_walls), 1)}
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
     efficiency = round(ratio / 4, 3)
-    # no-Spark control at the same two core counts: the host's own ceiling
-    raw = raw_python_control(corpus_path)
+    # no-Spark control (interleaved once per round): the host's own ceiling
+    best = {p: min(r[p]["wall_s"] for r in raw_runs) for p in ("procs_4", "procs_16")}
+    raw = {
+        p: {**next(r[p] for r in raw_runs if r[p]["wall_s"] == best[p]),
+            "walls_s": [r[p]["wall_s"] for r in raw_runs]}
+        for p in ("procs_4", "procs_16")
+    }
+    raw_ratio = raw["procs_16"]["urls_per_sec"] / raw["procs_4"]["urls_per_sec"]
+    raw["efficiency"] = round(raw_ratio / 4, 3)
     scaling = {"low": lo, "high": hi, "speedup": round(ratio, 3),
                "executor_ratio": 4, "efficiency": efficiency,
+               "interleaved_rounds": rounds,
                "raw_control": raw,
                "efficiency_vs_raw_ceiling": round(efficiency / raw["efficiency"], 3)
                if raw.get("efficiency") else None,
@@ -272,7 +315,11 @@ def main() -> None:
             "## Scaling evidence (north_rule: ≥0.8 efficiency N→4N)\n\n"
             "Same fused schedule→politeness→extract job, identical input, N vs 4N\n"
             "REAL executor JVMs (local-cluster mode: separate heaps, shuffles over\n"
-            "netty, per-executor Python worker pools):\n\n"
+            "netty, per-executor Python worker pools).  The lo/hi sessions are\n"
+            "INTERLEAVED over 3 rounds (this shared host's throughput drifts over\n"
+            "minutes; un-interleaved invocations measured 0.62 and 0.88 back to\n"
+            "back) — min walls of both levels sample the same host windows; all\n"
+            "per-run walls are in BENCH_r{N}.json:\n\n"
             "| executors | cores | wall (s) | spread (s) | URLs/s |\n|---|---|---|---|---|\n"
             f"| {lo['executors']}×4 | {lo['cores']} | {lo['wall_s']} | {lo['wall_spread_s']} | {lo['urls_per_sec']} |\n"
             f"| {hi['executors']}×4 | {hi['cores']} | {hi['wall_s']} | {hi['wall_spread_s']} | {hi['urls_per_sec']} |\n\n"

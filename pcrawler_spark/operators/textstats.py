@@ -83,3 +83,78 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Portable exact-dup fingerprint: md5 of lower(whitespace-normalized)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fp", F.md5(norm))
+
+
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB) and
+# Java regex agree on: contractions, letter runs, digit runs, punctuation
+# runs, whitespace runs.  (The real GPT-2 pattern's possessive lookaheads
+# aren't RE2-expressible; this keeps the counting semantics.)
+BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-ish token counting: occurrences of the BPE-style
+    pre-tokenizer pattern — the standard cost estimate for LLM training
+    data (whitespace counting under-counts punctuation-heavy web text).
+    JVM-side ``regexp_count``; DuckDB mirrors with
+    ``len(regexp_extract_all(...))``."""
+    return df.withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+    )
+
+
+def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    SIGMOD'03 — the standard local fingerprinting for near-dup / plagiarism
+    sweeps): hash every character k-gram, slide a window of ``w`` hashes,
+    keep each window's minimum (rightmost on ties).  A document pair sharing
+    any k-gram run longer than w+k-1 chars is guaranteed to share a selected
+    fingerprint.
+
+    Expressed as pure relational ops so the DuckDB oracle can reproduce it
+    bit-for-bit: posexplode of k-gram positions → portable md5-derived hash
+    → ``min over (partition by doc rows between current and w-1 following)``
+    → distinct.  One shuffle on the doc id (the window), no Python.
+    """
+    text = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    # sequence(1, 0) would DESCEND in Spark — docs shorter than k get an
+    # explicit empty gram array instead
+    gram_array = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substring(text, i, k)),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(gram_array).alias("pos", "gram"),
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based char positions (SQL parity)
+    # pack (hash, position) into ONE long so the window min is portable to
+    # DuckDB (no struct-min in its window functions): hash in the high bits,
+    # (2^20 - pos) in the low 20 — equal hashes prefer the LATER position
+    # (the standard rightmost-min winnowing determinism rule).  Fits exactly:
+    # 32-bit hash × 2^20 < 2^52.
+    _POS_BASE = 1 << 20
+    hashed = grams.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "_packed", F.col("h") * F.lit(_POS_BASE) + (F.lit(_POS_BASE) - F.col("pos"))
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("doc").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    packed = hashed.withColumn("_pick", F.min("_packed").over(win)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("doc"))
+    )
+    return (
+        packed.filter(F.col("pos") <= F.col("_n") - w + 1)  # full windows only
+        .select(
+            "doc",
+            F.shiftright(F.col("_pick"), 20).alias("fp_hash"),
+            (F.lit(_POS_BASE) - F.col("_pick").bitwiseAND(F.lit(_POS_BASE - 1))).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+    )

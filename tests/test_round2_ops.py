@@ -316,3 +316,45 @@ def test_salted_rank_equivalence(spark):
     assert counts["scheduled"] == 40 + 5  # mega budget 20*2, small all 5
     assert counts["disallowed"] == len([i for i in range(500) if i % 7 == 0])
     assert counts["deferred"] == 505 - counts["scheduled"] - counts["disallowed"]
+
+
+def test_winnowing_guarantee_and_determinism(spark):
+    """Winnowing property: two docs sharing a long substring share at least
+    one selected fingerprint; selection is deterministic."""
+    from pcrawler_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "the common copied passage lives here verbatim"
+    docs = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different beginning " + shared + " and ending"),
+        (3, "no overlap with anything else at all zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=8, w=4)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], set()).add(r["fp_hash"])
+    # guarantee: len(shared) = 45 >= w + k - 1 = 11 -> a shared fingerprint
+    assert by_doc[1] & by_doc[2], "copied passage must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # determinism
+    again = {(r["doc"], r["fp_hash"], r["fp_pos"]) for r in winnowing_fingerprints(df, k=8, w=4).collect()}
+    assert again == {(r["doc"], r["fp_hash"], r["fp_pos"]) for r in rows}
+
+
+def test_bpe_token_count_counts_punctuation(spark):
+    from pcrawler_spark.operators.textstats import bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello, world!!! it's 2026..."), (3, "a-b c_d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+    ws = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    # "hello world" -> ["hello", " world"] = 2
+    assert out[1] == 2
+    # punctuation-heavy text yields MORE bpe tokens than whitespace tokens
+    assert out[2] > ws[2]
+    # "it's" splits into " it" + "'s"
+    assert out[2] == 8  # hello | , |  world | !!! |  it | 's |  2026 | ...
