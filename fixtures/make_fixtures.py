@@ -66,7 +66,32 @@ def main() -> None:
     q34.to_parquet(os.path.join(OUT, "q34_frontier.parquet"), index=False)
     hosts.to_parquet(os.path.join(OUT, "q34_hosts.parquet"), index=False)
 
-    for f in ("q32_details_truth", "q33_text_truth", "q34_frontier", "q34_hosts"):
+    # q46: raw robots.txt bodies exercising group selection, consecutive
+    # user-agents, comments, blank lines, empty Disallow, Crawl-delay, rules
+    # outside any group, unknown fields
+    robots_rows = [
+        ("plain.vn",
+         "User-agent: *\nDisallow: /private\nDisallow: /tmp\nCrawl-delay: 2\n"),
+        ("othersonly.vn",
+         "User-agent: Googlebot\nDisallow: /all\nCrawl-delay: 9\n"),
+        ("multi.vn",
+         "User-agent: Googlebot\nUser-agent: *\nDisallow: /a\n\n"
+         "User-agent: Bingbot\nDisallow: /b\n\nUser-agent: *\nDisallow: /c\nCrawl-delay: 1.5\n"),
+        ("comments.vn",
+         "# header comment\nUser-agent: * # trailing\nDisallow: /x # note\n"
+         "Disallow:\nAllow: /public\nCrawl-delay: 0.5\n"),
+        ("orphan.vn",
+         "Disallow: /before-any-group\nUser-agent: *\nDisallow: /ok\n"),
+        ("empty.vn", ""),
+        ("casemix.vn",
+         "USER-AGENT: *\nDISALLOW: /Upper\ncrawl-DELAY: 3\n"),
+    ]
+    q46 = pd.DataFrame(robots_rows, columns=["host", "robots_txt"]).astype(
+        {"host": "string", "robots_txt": "string"})
+    q46.to_parquet(os.path.join(OUT, "q46_robots.parquet"), index=False)
+
+    for f in ("q32_details_truth", "q33_text_truth", "q34_frontier", "q34_hosts",
+              "q46_robots"):
         p = os.path.join(OUT, f + ".parquet")
         print(f, os.path.getsize(p), "bytes")
 

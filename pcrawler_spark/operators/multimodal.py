@@ -2,10 +2,17 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct, exactly like ``pages.html`` does for HTML.  The Spark-side
-plumbing (schema, batch iteration, partition sizing) is real and tested;
-the actual codec work is STUBBED — the decode libraries (PIL/ffmpeg/etc.)
-are not in this container — behind a deterministic fake that preserves
-shapes, clearly marked below.
+plumbing (schema, batch iteration, partition sizing) is real and tested.
+
+Decode status per format:
+
+* **PPM (P6) images — REAL decode** (pure stdlib+numpy header/raster parse):
+  width/height + per-channel means + grayscale std features;
+* **WAV (PCM16) audio — REAL decode** (stdlib ``wave`` + numpy): duration,
+  rate, channels, rms/peak/zero-cross features;
+* **everything codec-bound (jpeg/png/mp3/mp4/...) — STUB**: the codec
+  libraries (PIL/ffmpeg) are not in this container, so unknown payloads fall
+  back to a deterministic blake2b-derived fake, clearly marked below.
 
 Pattern: ``mapInPandas`` so each Arrow batch is decoded once per partition
 (bounded memory: tune spark.sql.execution.arrow.maxRecordsPerBatch down for
@@ -15,9 +22,13 @@ batch of 4K thumbnails and a batch of videos get different parallelism).
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from hashlib import blake2b
-from typing import Iterable
+from typing import Iterable, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,35 +39,112 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, feat array<float>, decode_ok boolean"
+    "media_id long, kind string, codec string, feat array<float>, decode_ok boolean"
 )
 
+FEATURE_DIM = 8
 
-def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
-    """STUB: deterministic stand-in for a real decoder+featurizer.
+
+def _decode_ppm(payload: bytes) -> Optional[list[float]]:
+    """REAL P6 PPM decode: header (magic, dims, maxval) + raw RGB raster.
+    Features: [w, h, mean_r, mean_g, mean_b, std_gray, maxval, 3]."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    # header tokens may be separated by any whitespace/comments
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    pos += 1  # single whitespace after maxval
+    raster = payload[pos : pos + w * h * 3]
+    if w <= 0 or h <= 0 or maxval <= 0 or len(raster) != w * h * 3:
+        return None
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float32)
+    gray = px.mean(axis=2)
+    return [float(w), float(h),
+            float(px[:, :, 0].mean() / maxval), float(px[:, :, 1].mean() / maxval),
+            float(px[:, :, 2].mean() / maxval), float(gray.std() / maxval),
+            float(maxval), 3.0]
+
+
+def _decode_wav(payload: bytes) -> Optional[list[float]]:
+    """REAL PCM16 WAV decode via stdlib ``wave``.
+    Features: [duration_s, rate, n_channels, mean_abs, rms, peak, zcr, 16]."""
+    if not payload or not payload.startswith(b"RIFF") or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as f:
+            if f.getsampwidth() != 2:
+                return None
+            rate, n_ch, n_frames = f.getframerate(), f.getnchannels(), f.getnframes()
+            raw = f.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error):
+        return None
+    if not raw:
+        return None
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return [float(n_frames) / rate, float(rate), float(n_ch),
+            float(np.abs(x).mean()), float(np.sqrt((x ** 2).mean())),
+            float(np.abs(x).max()), zc, 16.0]
+
+
+def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """STUB: deterministic stand-in for codec-bound formats (jpeg/mp4/...).
     Derives `dim` floats from a blake2b of the payload so tests are exact.
     Replace with PIL/torchvision/ffmpeg feature extraction in production."""
     d = blake2b(payload or b"", digest_size=dim * 2).digest()
     return [int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(dim)]
 
 
-def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def _decode_one(payload: Optional[bytes]) -> tuple[str, Optional[list[float]], bool]:
+    """(codec, features, ok): real decode when the magic bytes say PPM/WAV,
+    stub otherwise; malformed real-format payloads fail honestly."""
+    if payload is None:
+        return "none", None, False
+    b = bytes(payload)
+    if b.startswith(b"P6"):
+        feats = _decode_ppm(b)
+        return "ppm", feats, feats is not None
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        feats = _decode_wav(b)
+        return "wav", feats, feats is not None
+    return "stub", _fake_decode_features(b), True
+
+
+def decode_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """media(binary payload) → per-item feature vector via mapInPandas."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
-            feats, ok = [], []
+            codecs, feats, ok = [], [], []
             for payload in pdf["payload"]:
                 try:
-                    feats.append(_fake_decode_features(payload, dim))
-                    ok.append(True)
+                    c, f, o = _decode_one(payload)
                 except Exception:
-                    feats.append(None)
-                    ok.append(False)
+                    c, f, o = "error", None, False
+                codecs.append(c)
+                feats.append(f)
+                ok.append(o)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
+                    "codec": codecs,
                     "feat": feats,
                     "decode_ok": ok,
                 }
@@ -67,9 +155,9 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into the frame
-    timestamps a decoder would extract (the decode itself is the stub
-    above).  Pure JVM-side sequence/explode — demonstrates the row-expansion
-    shape without Python."""
+    timestamps a decoder would extract (video decode itself is codec-bound →
+    stubbed).  Pure JVM-side sequence/explode — demonstrates the
+    row-expansion shape without Python."""
     return (
         media.filter(F.col("kind") == "video")
         .withColumn(
@@ -80,3 +168,30 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic REAL-format payload builders (synthetic corpus / tests)
+# ---------------------------------------------------------------------------
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """A valid P6 PPM with deterministic pixel content."""
+    header = f"P6\n# synthetic {seed}\n{width} {height}\n255\n".encode()
+    n = width * height * 3
+    d = blake2b(f"ppm:{seed}".encode(), digest_size=32).digest()
+    px = np.frombuffer((d * (n // 32 + 1))[:n], dtype=np.uint8)
+    return header + px.tobytes()
+
+
+def make_wav(n_frames: int, rate: int, seed: int, n_channels: int = 1) -> bytes:
+    """A valid 16-bit PCM WAV with a deterministic sine-ish signal."""
+    t = np.arange(n_frames * n_channels, dtype=np.float32)
+    x = np.sin(t * (0.01 + (seed % 7) * 0.005)) * 0.5
+    pcm = (x * 32767).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(n_channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm)
+    return buf.getvalue()

@@ -23,6 +23,7 @@ factor derived from observed per-host counts, adapting each epoch).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -165,6 +166,35 @@ def politeness_schedule(
     deferred = decided.filter(F.col("decision") == "deferred").drop("decision")
     disallowed = decided.filter(F.col("decision") == "disallowed").drop("decision")
     return scheduled, deferred, disallowed
+
+
+def hosts_from_robots(robots: DataFrame, body_col: str = "robots_txt",
+                      default_max_parallel: int = DEFAULT_MAX_PARALLEL) -> DataFrame:
+    """Materialize the broadcast host-policy table FROM raw robots.txt
+    bodies (north_star: "robots.txt rules materialized as a broadcast-joined
+    host table").  Input: (host, robots_txt) — one fetched /robots.txt body
+    per host; output matches the ``hosts`` schema the scheduler consumes.
+    Parsing is the pure-Python kernel behind an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<crawl_delay_s: double, robots_disallow: array<string>>")
+    def parse(body: pd.Series) -> pd.DataFrame:
+        from ..kernels.robots import parse_robots
+
+        delays, rules = [], []
+        for b in body:
+            d, r = parse_robots(b)
+            delays.append(d)
+            rules.append(r)
+        return pd.DataFrame({"crawl_delay_s": delays, "robots_disallow": rules})
+
+    parsed = robots.withColumn("_p", parse(F.col(body_col)))
+    return parsed.select(
+        "host",
+        F.coalesce(F.col("_p.crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S)).alias("crawl_delay_s"),
+        F.col("_p.robots_disallow").alias("robots_disallow"),
+        F.lit(default_max_parallel).alias("max_parallel"),
+    )
 
 
 def salted_repartition(

