@@ -66,6 +66,49 @@ def fetch_metrics_stream(pages_stream: DataFrame,
     )
 
 
+def admit_with_host_quota(urls_stream: DataFrame, quota: int) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``): a
+    per-host admission quota that persists ACROSS micro-batches — the
+    streaming analogue of the reference's per-host politeness budget
+    (detail_crawler.py:28 sleeps → here: at most ``quota`` URLs ever
+    admitted per host, no matter how many batches deliver candidates).
+
+    State = one long per host (admitted-so-far).  Within a batch candidates
+    are admitted in canonical URL order (deterministic under replay); output
+    rows carry the 1-based admission sequence number.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: GroupState):
+        (host,) = key
+        n = state.get[0] if state.exists else 0
+        out_urls, out_seq = [], []
+        urls: list[str] = []
+        for pdf in pdfs:
+            urls.extend(pdf["canon_url"].tolist())
+        for u in sorted(urls):
+            if n >= quota:
+                break
+            n += 1
+            out_urls.append(u)
+            out_seq.append(n)
+        state.update((n,))
+        yield pd.DataFrame({
+            "host": [host] * len(out_urls),
+            "canon_url": out_urls,
+            "admitted_seq": out_seq,
+        })
+
+    return urls_stream.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="host string, canon_url string, admitted_seq long",
+        stateStructType="n_admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_extract_to_parquet(spark: SparkSession, input_dir: str, output_dir: str,
                            checkpoint_dir: str, available_now: bool = True):
     """Stream pages → fused extraction → parquet sink with EFFECTIVE

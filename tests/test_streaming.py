@@ -63,3 +63,51 @@ def test_stream_windowed_metrics(spark, pages_dir):
     kinds = {r.kind for r in rows}
     assert {"detail", "contact", "listing"} <= kinds
     assert all(r.n_pages > 0 for r in rows)
+
+
+def test_stateful_host_quota_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-host admission quota must persist
+    across micro-batches AND across stream restarts (state checkpointed) —
+    a host delivering candidates in several batches never exceeds quota."""
+    from pcrawler_spark.streaming.pipeline import admit_with_host_quota
+
+    in_dir = tmp_path / "urls"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def land(batch_id, rows):
+        spark.createDataFrame(rows, "host string, canon_url string").write.parquet(
+            str(in_dir / f"b{batch_id}"))
+
+    # batch 1: host a gets 4 candidates, host b gets 1
+    land(1, [("a.vn", f"https://a.vn/p{i}") for i in range(4)] + [("b.vn", "https://b.vn/p0")])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("host string, canon_url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = (
+            admit_with_host_quota(stream, quota=5)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2 (separate stream start -> state restored from checkpoint):
+    # host a floods 10 more; only 1 slot remains of its quota of 5
+    land(2, [("a.vn", f"https://a.vn/q{i}") for i in range(10)] + [("b.vn", "https://b.vn/p1")])
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    per_host = {r["host"]: r["n"] for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["a.vn"] == 5, per_host   # 4 in batch 1 + 1 more ever
+    assert per_host["b.vn"] == 2
+    seqs = sorted(r["admitted_seq"] for r in out.filter(F.col("host") == "a.vn").collect())
+    assert seqs == [1, 2, 3, 4, 5]
