@@ -93,8 +93,8 @@ def hosts_df(spark, n_companies: int):
 
 
 def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
-                   cores_per_executor: int = 4, runs: int = 2,
-                   warm_frac_mod: int | None = 8) -> dict:
+                   cores_per_executor: int = 4, runs: int = 3,
+                   warm_frac_mod: int | None = 4) -> dict:
     """Fused schedule+extract pass on a local-cluster of real executor JVMs
     (separate heaps + python worker pools — the honest stand-in for N
     executors; local[N] threads share one JVM and understate scaling).
@@ -248,15 +248,19 @@ def main() -> None:
     raw_runs = []
     n_urls = 0
     for rnd in range(3):
-        lo_r = run_throughput(1, corpus_path, n_companies, runs=2)
-        hi_r = run_throughput(4, corpus_path, n_companies, runs=2)
+        lo_r = run_throughput(1, corpus_path, n_companies, runs=3)
+        hi_r = run_throughput(4, corpus_path, n_companies, runs=3)
         n_urls = hi_r["urls"]
-        lo_walls += lo_r["walls_s"]
-        hi_walls += hi_r["walls_s"]
+        # a session's FIRST measured run still carries residual cold state
+        # (subset warm-up covers ~25% of the corpus) — treat it as extended
+        # warm-up and measure on the remaining runs
+        lo_m, hi_m = lo_r["walls_s"][1:], hi_r["walls_s"][1:]
+        lo_walls += lo_m
+        hi_walls += hi_m
         raw_runs.append(raw_python_control(corpus_path, reps=1))
         rounds.append({
             "lo_walls_s": lo_r["walls_s"], "hi_walls_s": hi_r["walls_s"],
-            "pair_efficiency": round(min(lo_r["walls_s"]) / (4 * min(hi_r["walls_s"])), 3),
+            "pair_efficiency": round(min(lo_m) / (4 * min(hi_m)), 3),
             "raw_efficiency": raw_runs[-1]["efficiency"],
         })
     lo = {"executors": 1, "cores": 4, "urls": n_urls,
@@ -270,18 +274,32 @@ def main() -> None:
           "walls_s": hi_walls,
           "urls_per_sec": round(n_urls / min(hi_walls), 1)}
     ratio = hi["urls_per_sec"] / lo["urls_per_sec"] if lo["urls_per_sec"] else 0.0
-    efficiency = round(ratio / 4, 3)
-    # no-Spark control (interleaved once per round): the host's own ceiling
+    # headline = MEDIAN of the per-round pair efficiencies: each pair's lo
+    # and hi walls are adjacent in time, so the ratio is drift-free, and the
+    # median rejects a single disturbed round; the min-walls cross-ratio is
+    # kept as a secondary signal (it can pair walls from different host
+    # windows)
+    pair_effs = sorted(r["pair_efficiency"] for r in rounds)
+    efficiency = pair_effs[len(pair_effs) // 2]
+    efficiency_min_walls = round(ratio / 4, 3)
+    # no-Spark control (interleaved once per round): the host's own ceiling,
+    # estimated the SAME way as the engine number — median of the per-round
+    # efficiencies (mixing best walls across rounds would overstate the
+    # ceiling exactly when the host drifts)
     best = {p: min(r[p]["wall_s"] for r in raw_runs) for p in ("procs_4", "procs_16")}
     raw = {
         p: {**next(r[p] for r in raw_runs if r[p]["wall_s"] == best[p]),
             "walls_s": [r[p]["wall_s"] for r in raw_runs]}
         for p in ("procs_4", "procs_16")
     }
-    raw_ratio = raw["procs_16"]["urls_per_sec"] / raw["procs_4"]["urls_per_sec"]
-    raw["efficiency"] = round(raw_ratio / 4, 3)
+    raw_round_effs = sorted(r["efficiency"] for r in raw_runs)
+    raw["efficiency"] = raw_round_effs[len(raw_round_effs) // 2]
+    raw["efficiency_estimator"] = "median of per-round raw efficiencies"
     scaling = {"low": lo, "high": hi, "speedup": round(ratio, 3),
-               "executor_ratio": 4, "efficiency": efficiency,
+               "executor_ratio": 4,
+               "efficiency": efficiency,
+               "efficiency_estimator": "median of per-round adjacent lo/hi pairs",
+               "efficiency_min_walls": efficiency_min_walls,
                "interleaved_rounds": rounds,
                "raw_control": raw,
                "efficiency_vs_raw_ceiling": round(efficiency / raw["efficiency"], 3)
@@ -323,8 +341,11 @@ def main() -> None:
             "| executors | cores | wall (s) | spread (s) | URLs/s |\n|---|---|---|---|---|\n"
             f"| {lo['executors']}×4 | {lo['cores']} | {lo['wall_s']} | {lo['wall_spread_s']} | {lo['urls_per_sec']} |\n"
             f"| {hi['executors']}×4 | {hi['cores']} | {hi['wall_s']} | {hi['wall_spread_s']} | {hi['urls_per_sec']} |\n\n"
-            f"Speedup {scaling['speedup']}× over a 4× executor ratio → "
-            f"**measured scaling efficiency {efficiency}**.\n\n"
+            f"**Measured scaling efficiency {efficiency}** — the median of the\n"
+            "per-round adjacent lo/hi pair ratios "
+            f"({', '.join(str(r['pair_efficiency']) for r in rounds)}); the\n"
+            f"min-walls cross-ratio is {efficiency_min_walls} "
+            f"(speedup {scaling['speedup']}× over a 4× executor ratio).\n\n"
             "### Host ceiling — measured, not asserted\n\n"
             "Raw-Python no-Spark control (same kernels, same pages,\n"
             "multiprocessing.Pool) at the same two core counts, run by this\n"
