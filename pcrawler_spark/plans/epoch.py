@@ -101,20 +101,35 @@ class CrawlRunConfig:
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, pages: DataFrame, hosts: DataFrame,
+    def __init__(self, spark: SparkSession, pages: DataFrame | str, hosts: DataFrame,
                  cfg: CrawlRunConfig):
         self.spark = spark
         self.cfg = cfg
         self.catalog = EpochCatalog(spark, cfg.state_dir)
         self.hosts = hosts
-        # index the page store once: canonical url + hash, keep-oldest per
-        # url (D2 dedup of duplicate captures), persisted across epochs.
-        # F5 validity gate (detail_crawler.py:39, contact_crawler.py:127):
-        # a fetch with ≤100 bytes of html is not a page — such URLs fall
-        # through to the 'missing' seen-reason instead of being extracted
-        idx = with_url_hash(pages.filter(F.length("html") > 100), "url")
-        idx = dedup_keep_first(idx, ["url_hash"], "warc_ts", tiebreak=["canon_url"])
-        self.pages_idx = idx.select("url_hash", "canon_url", "host", "html", "warc_ts", "lang").persist()
+        if isinstance(pages, str):
+            # name of a BUCKETED page-store table (plans/pagestore.py —
+            # already canonicalized, deduped, length-gated at write time).
+            # The fetch join then needs neither a broadcast nor any exchange
+            # on the pages side: the scheduled keys shuffle into the bucket
+            # layout instead (the 10^10-scale path)
+            self.bucketed = True
+            self.pages_idx = spark.table(pages).select(
+                "url_hash", "canon_url", "host", "html", "warc_ts", "lang"
+            )
+        else:
+            self.bucketed = False
+            # index the page store once: canonical url + hash, keep-oldest
+            # per url (D2 dedup of duplicate captures), persisted across
+            # epochs.  F5 validity gate (detail_crawler.py:39,
+            # contact_crawler.py:127): a fetch with ≤100 bytes of html is
+            # not a page — such URLs fall through to the 'missing'
+            # seen-reason instead of being extracted
+            idx = with_url_hash(pages.filter(F.length("html") > 100), "url")
+            idx = dedup_keep_first(idx, ["url_hash"], "warc_ts", tiebreak=["canon_url"])
+            self.pages_idx = idx.select(
+                "url_hash", "canon_url", "host", "html", "warc_ts", "lang"
+            ).persist()
 
     # ---- url classification (corpus conventions; cf. 1900comvn.yml:33) ----
 
@@ -267,10 +282,15 @@ class CrawlEngine:
             F.col("company_name").alias("seed_company_name"),
             "retry_count",
         )
-        att_join = (
-            F.broadcast(att_sel)
-            if n_scheduled <= cfgc.broadcast_max_scheduled else att_sel
-        )
+        if self.bucketed:
+            # bucketed store: keys shuffle into the bucket layout; the wide
+            # side streams from its bucketed scan (no broadcast, no pages
+            # exchange) regardless of the schedule size
+            att_join = att_sel.hint("shuffle_hash")
+        elif n_scheduled <= cfgc.broadcast_max_scheduled:
+            att_join = F.broadcast(att_sel)
+        else:
+            att_join = att_sel
         fetched = self.pages_idx.join(att_join, on="url_hash", how="inner")
         # ONE fused Arrow pass: shared DOM parse feeds detail/email/link/text
         # kernels per url kind; frontier metadata rides through as passthrough

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--pages", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    p.add_argument("--pages-table",
+                   help="name of a BUCKETED page-store table (plans/pagestore.py) — "
+                        "the no-broadcast fetch path for very large schedules")
     p.add_argument("--hosts", help="hosts parquet dir (host, crawl_delay_s, robots_disallow, max_parallel)")
     p.add_argument("--seeds", help="seeds parquet dir (url, priority, industry)")
     p.add_argument("--synthetic", type=int, metavar="N",
@@ -69,9 +72,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         seeds = spark.createDataFrame(corpus["seeds"], "url string, priority int, industry string")
     else:
-        if not (args.pages and args.hosts and args.seeds):
-            p.error("either --synthetic N or all of --pages/--hosts/--seeds")
-        pages = spark.read.parquet(args.pages)
+        if not ((args.pages or args.pages_table) and args.hosts and args.seeds):
+            p.error("either --synthetic N or (--pages | --pages-table) + --hosts + --seeds")
+        pages = args.pages_table or spark.read.parquet(args.pages)
         hosts = spark.read.parquet(args.hosts)
         seeds = spark.read.parquet(args.seeds)
 

@@ -358,3 +358,37 @@ def test_bpe_token_count_counts_punctuation(spark):
     assert out[2] > ws[2]
     # "it's" splits into " it" + "'s"
     assert out[2] == 8  # hello | , |  world | !!! |  it | 's |  2026 | ...
+
+
+def test_engine_on_bucketed_pagestore(spark, tmp_path):
+    """The epoch engine runs against a bucketed page-store TABLE (no
+    broadcast, no pages-side shuffle in the fetch join) and produces the
+    exact same final state as the DataFrame-input engine."""
+    import shutil
+
+    from pcrawler_spark.plans.pagestore import write_bucketed_pages
+
+    cfg = SyntheticCrawlConfig(n_companies=40, n_industries=2, n_hosts=6)
+    corpus, pages, hosts, seeds = _spark_corpus(spark, cfg)
+    spark.sql("DROP TABLE IF EXISTS engine_pages_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/engine_pages_bucketed", ignore_errors=True)
+    write_bucketed_pages(pages, "engine_pages_bucketed", n_buckets=8)
+
+    finals = {}
+    for name, src in (("df", pages), ("bucketed", "engine_pages_bucketed")):
+        engine = CrawlEngine(
+            spark, src, hosts,
+            CrawlRunConfig(state_dir=str(tmp_path / name), epoch_seconds=120.0),
+        )
+        engine.run(seeds)
+        finals[name] = {
+            "seen": sorted(r.url_hash for r in engine.seen().select("url_hash").collect()),
+            "records": sorted(r.canon_url for r in engine.records().select("canon_url").collect()),
+            "emails": sorted(
+                (r.canon_url, tuple(r.emails)) for r in engine.emails().collect()
+            ),
+        }
+    assert finals["df"] == finals["bucketed"]
+    assert len(finals["df"]["seen"]) > 0
+    spark.sql("DROP TABLE IF EXISTS engine_pages_bucketed")
