@@ -29,6 +29,45 @@ from pcrawler_spark.kernels.urlnorm import url_host
 CFG = SyntheticCrawlConfig(n_companies=50, n_industries=4, n_hosts=8)
 
 
+def q36_expected() -> pd.DataFrame:
+    """Expected q36 multimodal features, derived from the payload-builder
+    SPEC by independent arithmetic — not by running the decoders under test:
+
+    * PPM f0 = declared width; WAV f0 = frames/rate from the builder's own
+      parameters; truncated real-format payloads must fail decode;
+    * the codec-bound stub's blake2b derivation is shared by definition
+      (the stub IS its spec, operators/multimodal.py:106-111);
+    * n_frames = the 1s frame-sampling plan length from duration_ms.
+
+    f0 goes through the same float32 Arrow round-trip the engine's
+    ``array<float>`` column imposes before the double cast."""
+    from hashlib import blake2b
+
+    rows = []
+    for i in range(30):
+        kind = ["image", "audio", "video"][i % 3]
+        truncated = i in (9, 10)
+        if kind == "image":
+            codec = "ppm"
+            f0, ok = (None, False) if truncated else (float(16 + i % 5), True)
+        elif kind == "audio":
+            codec = "wav"
+            f0, ok = (None, False) if truncated else (float(4000 + 100 * i) / 16000.0, True)
+        else:
+            codec = "stub"
+            payload = bytes([i % 251] * (50 + i))
+            d = blake2b(payload, digest_size=16).digest()
+            f0, ok = int.from_bytes(d[0:2], "big") / 65535.0, True
+        n_frames = ((3000 + i * 500 - 1) // 1000) + 1 if kind == "video" else 0
+        rows.append((i, kind, codec, f0, ok, n_frames))
+    df = pd.DataFrame(
+        rows, columns=["media_id", "kind", "codec", "f0", "decode_ok", "n_frames"])
+    df["f0"] = df["f0"].astype("float32").astype("float64")
+    df["media_id"] = df["media_id"].astype("int64")
+    df["n_frames"] = df["n_frames"].astype("int64")
+    return df.astype({"kind": "string", "codec": "string"})
+
+
 def main() -> None:
     corpus = generate_crawl_corpus(CFG)
     truth, pages, hosts = corpus["truth"], corpus["pages"], corpus["hosts"]
@@ -90,8 +129,10 @@ def main() -> None:
         {"host": "string", "robots_txt": "string"})
     q46.to_parquet(os.path.join(OUT, "q46_robots.parquet"), index=False)
 
+    q36_expected().to_parquet(os.path.join(OUT, "q36_media_truth.parquet"), index=False)
+
     for f in ("q32_details_truth", "q33_text_truth", "q34_frontier", "q34_hosts",
-              "q46_robots"):
+              "q46_robots", "q36_media_truth"):
         p = os.path.join(OUT, f + ".parquet")
         print(f, os.path.getsize(p), "bytes")
 

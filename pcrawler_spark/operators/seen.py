@@ -73,20 +73,28 @@ def _bitmap_for(hs: np.ndarray, fpp: float) -> tuple[bytes, int, int]:
     return bitmap.tobytes(), m_bits, k
 
 
-def candidate_bucket_col(candidates: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS,
-                         hash_col: str = "url_hash"):
-    """Bucket expression for a candidate row: host-keyed when the frontier
-    carries ``host`` (url_hash is xxhash64(canon_url), and seen rows record
-    the same host bucket), else url-hash mod."""
-    if "host" in candidates.columns:
-        return F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int")
-    return F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
-
-
 def seen_host_bucket_col(host_col: str = "host", n_buckets: int = DEFAULT_N_BUCKETS):
     """The column the ENGINE stamps on every seen row so the Bloom build can
-    bucket by host without re-deriving it from the hash."""
+    bucket by host without re-deriving it from the hash.  The stamp modulus
+    MUST be ``DEFAULT_N_BUCKETS`` for the host-keyed Bloom mode to engage —
+    :func:`build_partitioned_bloom` falls back to url-hash-mod bucketing on
+    BOTH sides whenever the requested ``n_buckets`` differs, so the two
+    sides can never probe misaligned buckets."""
     return F.pmod(F.xxhash64(host_col), F.lit(n_buckets)).cast("int")
+
+
+def _host_mode(candidates_have_host: bool, seen: DataFrame, n_buckets: int) -> bool:
+    """ONE source of truth for the bucketing key.  Host-keyed bucketing is
+    only sound when (a) candidates can derive the host bucket, (b) seen rows
+    carry the stamped ``host_bucket``, and (c) the requested bucket count
+    matches the stamp modulus — otherwise both sides fall back to url-hash
+    mod (a mixed-mode probe would treat Bloom misses as definitely-new and
+    silently re-crawl seen URLs)."""
+    return (
+        candidates_have_host
+        and "host_bucket" in seen.columns
+        and n_buckets == DEFAULT_N_BUCKETS
+    )
 
 
 def build_bloom_buckets(seen: DataFrame, bucket_col, hash_col: str = "url_hash",
@@ -110,31 +118,62 @@ def build_bloom_buckets(seen: DataFrame, bucket_col, hash_col: str = "url_hash",
     )
 
 
-def bloom_partitioned_filter(candidates: DataFrame, seen: DataFrame,
-                             hash_col: str = "url_hash",
-                             n_buckets: int = DEFAULT_N_BUCKETS,
-                             fpp: float = 0.01) -> DataFrame:
-    """Adds ``_maybe_seen`` to candidates using per-bucket Bloom filters.
+class PartitionedBloom:
+    """Broadcast per-bucket bitmaps plus the bucketing contract they were
+    built under.  Reusable across epochs: the engine builds once (ONE driver
+    action), then each epoch probes the broadcast and covers post-build seen
+    rows with an exact anti-join against only the RECENT epochs (partition-
+    pruned) — amortizing the build without ever trusting a stale bitmap."""
 
-    Only the buckets present among the candidates are collected and
-    broadcast (at real scale an epoch touches the politeness-budgeted host
-    subset, so this payload is epoch-bounded).  Rows in buckets with no seen
-    entries are definitely new."""
-    spark = candidates.sparkSession
-    cand = candidates.withColumn("_bucket", candidate_bucket_col(candidates, n_buckets, hash_col))
-    needed = {r["_bucket"] for r in cand.select("_bucket").distinct().collect()}
+    def __init__(self, broadcast, n_buckets: int, host_mode: bool,
+                 hash_col: str, built_upto_epoch: int | None = None):
+        self.broadcast = broadcast
+        self.n_buckets = n_buckets
+        self.host_mode = host_mode
+        self.hash_col = hash_col
+        self.built_upto_epoch = built_upto_epoch
 
-    if "host_bucket" in seen.columns and "host" in candidates.columns:
-        seen_bucket = F.col("host_bucket").cast("int")
-    else:
-        seen_bucket = F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
-    blooms = build_bloom_buckets(
-        seen.filter(seen_bucket.isin(*needed) if needed else F.lit(False)),
-        seen_bucket, hash_col, fpp,
-    ).collect()
+    def unpersist(self) -> None:
+        self.broadcast.unpersist()
+
+
+def build_partitioned_bloom(seen: DataFrame, candidates_have_host: bool = True,
+                            hash_col: str = "url_hash",
+                            n_buckets: int = DEFAULT_N_BUCKETS,
+                            fpp: float = 0.01,
+                            built_upto_epoch: int | None = None) -> PartitionedBloom:
+    """Build + broadcast all per-bucket filters in ONE driver action.
+
+    Bucket count is bounded (≤ n_buckets rows collected, each an
+    independently-sized bitmap), so there is no per-epoch candidate scan to
+    learn which buckets are 'needed' — deriving that subset cost a full
+    extra pass over the candidate set every epoch."""
+    spark = seen.sparkSession
+    host_mode = _host_mode(candidates_have_host, seen, n_buckets)
+    seen_bucket = (
+        F.col("host_bucket").cast("int") if host_mode
+        else F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    blooms = build_bloom_buckets(seen, seen_bucket, hash_col, fpp).collect()
     table = {r["bucket"]: (np.frombuffer(r["bitmap"], dtype=np.uint8), r["m_bits"], r["k"])
              for r in blooms}
     b = spark.sparkContext.broadcast(table)
+    return PartitionedBloom(b, n_buckets, host_mode, hash_col, built_upto_epoch)
+
+
+def apply_bloom(candidates: DataFrame, bloom: PartitionedBloom) -> DataFrame:
+    """Adds ``_maybe_seen`` to candidates, probing each row's bucket bitmap.
+    The candidate bucket key is derived from the SAME mode the build chose;
+    host-mode with host-less candidates is a hard error, not a silent
+    misaligned probe."""
+    if bloom.host_mode:
+        if "host" not in candidates.columns:
+            raise ValueError("host-mode Bloom requires a 'host' column on candidates")
+        bucket_col = F.pmod(F.xxhash64("host"), F.lit(bloom.n_buckets)).cast("int")
+    else:
+        bucket_col = F.pmod(F.col(bloom.hash_col), F.lit(bloom.n_buckets)).cast("int")
+    cand = candidates.withColumn("_bucket", bucket_col)
+    b = bloom.broadcast
 
     @F.pandas_udf("boolean")
     def might_contain(h: pd.Series, bucket: pd.Series) -> pd.Series:
@@ -154,22 +193,48 @@ def bloom_partitioned_filter(candidates: DataFrame, seen: DataFrame,
             out[idx] = hit
         return pd.Series(out)
 
-    return cand.withColumn("_maybe_seen", might_contain(F.col(hash_col), F.col("_bucket"))).drop("_bucket")
+    return cand.withColumn(
+        "_maybe_seen", might_contain(F.col(bloom.hash_col), F.col("_bucket"))
+    ).drop("_bucket")
+
+
+def bloom_partitioned_filter(candidates: DataFrame, seen: DataFrame,
+                             hash_col: str = "url_hash",
+                             n_buckets: int = DEFAULT_N_BUCKETS,
+                             fpp: float = 0.01) -> DataFrame:
+    """Back-compat wrapper: build (one action) + apply in one call."""
+    bloom = build_partitioned_bloom(
+        seen, "host" in candidates.columns, hash_col, n_buckets, fpp)
+    return apply_bloom(candidates, bloom)
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
                    hash_col: str = "url_hash",
                    use_bloom: bool = False, fpp: float = 0.01,
-                   n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
+                   n_buckets: int = DEFAULT_N_BUCKETS,
+                   bloom: PartitionedBloom | None = None,
+                   recent_seen: DataFrame | None = None) -> DataFrame:
     """Exact new-URL filter: candidates ∖ seen on the url hash (left anti).
 
-    With ``use_bloom`` the definitely-new rows (Bloom miss) bypass the
-    anti-join shuffle entirely; only possible-hits are joined — a large win
-    when the frontier epoch is small relative to the seen set."""
-    if not use_bloom:
+    With ``use_bloom`` (or a prebuilt ``bloom``) the definitely-new rows
+    (Bloom miss) bypass the big anti-join shuffle entirely; only
+    possible-hits are joined — a large win when the frontier epoch is small
+    relative to the seen set.
+
+    ``recent_seen``: seen rows committed AFTER the bloom was built (the
+    engine's amortized-build path).  Definitely-new rows are still exactly
+    anti-joined against this small, partition-pruned slice, so a reused
+    bloom can never leak an already-seen URL."""
+    if not use_bloom and bloom is None:
         return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
-    flagged = bloom_partitioned_filter(candidates, seen, hash_col, n_buckets, fpp)
+    if bloom is None:
+        bloom = build_partitioned_bloom(
+            seen, "host" in candidates.columns, hash_col, n_buckets, fpp)
+    flagged = apply_bloom(candidates, bloom)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    if recent_seen is not None:
+        definitely_new = definitely_new.join(
+            recent_seen.select(hash_col), on=hash_col, how="left_anti")
     maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = maybe.join(seen.select(hash_col), on=hash_col, how="left_anti")
     return definitely_new.unionByName(confirmed_new)

@@ -117,31 +117,47 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     → ``min over (partition by doc rows between current and w-1 following)``
     → distinct.  One shuffle on the doc id (the window), no Python.
     """
+    from pyspark.sql.window import Window
+
     text = F.lower(F.col(text_col))
-    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
-    # sequence(1, 0) would DESCEND in Spark — docs shorter than k get an
-    # explicit empty gram array instead
-    gram_array = F.when(
-        n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substring(text, i, k)),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
+    # grams are assembled from exploded CHARS with a k-wide sliding window,
+    # NOT per-position ``substring(text, i, k)``: substring seeks the char
+    # position from the string start (UTF-8 variable width), making the
+    # gram pass O(len²) — a >1 MB page never finished — and a char-array
+    # slice inside a higher-order transform re-evaluates the captured
+    # split() per element (Catalyst inlines single-use aliases into the
+    # lambda).  The sliding collect_list is O(k) per row and its window
+    # shares the (doc, pos) sort the winnowing min-window needs anyway.
+    chars = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(gram_array).alias("pos", "gram"),
-    ).withColumn("pos", F.col("pos") + 1)  # 1-based char positions (SQL parity)
+        F.posexplode(F.split(text, "")).alias("pos0", "_ch"),
+    )
+    gram_w = (
+        Window.partitionBy("doc").orderBy("pos0")
+        .rowsBetween(Window.currentRow, k - 1)
+    )
+    count_w = Window.partitionBy("doc")
+    grams = (
+        chars.withColumn("gram", F.array_join(F.collect_list("_ch").over(gram_w), ""))
+        .withColumn("_n_chars", F.count("*").over(count_w))
+        .withColumn("pos", F.col("pos0") + 1)  # 1-based char positions (SQL parity)
+        .filter(F.col("pos") <= F.col("_n_chars") - (k - 1))  # full grams only
+        .select("doc", "pos", "gram")
+    )
     # pack (hash, position) into ONE long so the window min is portable to
     # DuckDB (no struct-min in its window functions): hash in the high bits,
-    # (2^20 - pos) in the low 20 — equal hashes prefer the LATER position
+    # (2^30 - pos) in the low 30 — equal hashes prefer the LATER position
     # (the standard rightmost-min winnowing determinism rule).  Fits exactly:
-    # 32-bit hash × 2^20 < 2^52.
-    _POS_BASE = 1 << 20
+    # 32-bit hash × 2^30 ≤ 2^62 < 2^63, and the 2^30 position space covers
+    # ~1.07 GB documents (web pages routinely exceed the 2^20 ≈ 1 MB a
+    # 20-bit field allowed; beyond it the low field went non-positive and
+    # borrowed into the hash bits, corrupting the window min)
+    _POS_BASE = 1 << 30
     hashed = grams.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
     ).withColumn(
         "_packed", F.col("h") * F.lit(_POS_BASE) + (F.lit(_POS_BASE) - F.col("pos"))
     )
-    from pyspark.sql.window import Window
-
     win = (
         Window.partitionBy("doc").orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
@@ -153,7 +169,7 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
         packed.filter(F.col("pos") <= F.col("_n") - w + 1)  # full windows only
         .select(
             "doc",
-            F.shiftright(F.col("_pick"), 20).alias("fp_hash"),
+            F.shiftright(F.col("_pick"), 30).alias("fp_hash"),
             (F.lit(_POS_BASE) - F.col("_pick").bitwiseAND(F.lit(_POS_BASE - 1))).cast("int").alias("fp_pos"),
         )
         .distinct()

@@ -97,6 +97,12 @@ class EpochCatalog:
         last = self.last_committed_epoch()
         if last < 0:
             return None
+        # retry any GC a previous crash left undone: readers already skip
+        # replaced epochs, but without this sweep a crash between the
+        # manifest rename and the rmtree loop leaks the dirs forever (later
+        # compactions exclude already-replaced epochs from their own
+        # `replaces` lists and so never delete them)
+        self.gc_replaced()
         upto = last if upto is None else min(upto, last)
         new_epoch = last + 1
         committed = set(self.committed_epochs())
@@ -144,6 +150,22 @@ class EpochCatalog:
                 shutil.rmtree(self._epoch_dir(t, e), ignore_errors=True)
         return new_epoch
 
+    def gc_replaced(self) -> int:
+        """Delete every epoch dir superseded by a committed compaction.
+        Safe at any time (readers skip replaced epochs); returns the number
+        of dirs removed."""
+        removed = 0
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table.startswith("_") or not os.path.isdir(tdir):
+                continue
+            replaced = self._replaced_epochs(table)
+            for part in os.listdir(tdir):
+                if part.startswith("epoch=") and int(part.split("=", 1)[1]) in replaced:
+                    shutil.rmtree(os.path.join(tdir, part), ignore_errors=True)
+                    removed += 1
+        return removed
+
     def _replaced_epochs(self, table: str) -> set[int]:
         """Epochs superseded by a later compaction of ``table``."""
         out: set[int] = set()
@@ -154,6 +176,7 @@ class EpochCatalog:
 
     def rollback_uncommitted(self) -> None:
         """Remove epoch dirs newer than the last commit (crash cleanup)."""
+        self.gc_replaced()  # also retry any compaction GC a crash left undone
         last = self.last_committed_epoch()
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)

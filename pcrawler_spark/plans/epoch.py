@@ -34,7 +34,7 @@ from ..functions.udfs import with_url_hash
 from .singlepass import fused_extract
 from ..operators.dedup import dedup_keep_first, dedup_keep_last
 from ..operators.politeness import politeness_decide
-from ..operators.seen import anti_join_seen, seen_host_bucket_col
+from ..operators.seen import anti_join_seen, build_partitioned_bloom, seen_host_bucket_col
 from ..operators.export import export_contacts
 from .catalog import EpochCatalog
 
@@ -81,6 +81,12 @@ class CrawlRunConfig:
     # build costs one pass over `seen`, so tiny seen sets skip it);
     # None disables the Bloom path entirely
     bloom_min_seen: int | None = None
+    # rebuild the cached Bloom every k worked epochs (or after a compaction
+    # renumbers seen rows).  Between rebuilds the filter is reused — the
+    # steady-state epoch stays at 2 driver actions — and the seen rows
+    # committed since the build are covered by an exact anti-join against
+    # only those recent epochs (partition-pruned on the epoch column)
+    bloom_rebuild_epochs: int = 8
     # fetch-join strategy: the scheduled key set is broadcast onto the page
     # scan only while its row count stays under this bound — beyond it the
     # join falls back to a shuffle plan (or the bucketed page store at real
@@ -165,6 +171,19 @@ class CrawlEngine:
 
     # ---- one epoch ---------------------------------------------------------
 
+    def _worked_epochs(self) -> list[int]:
+        """Catalog epoch numbers of actual CRAWL epochs — bootstrap and
+        compaction commits consume epoch numbers but do no crawl work, so
+        bounds expressed 'in epochs' (max_epochs, breaker cooldown) must not
+        count them."""
+        out = []
+        for e in self.catalog.committed_epochs():
+            md = self.catalog.manifest(e).get("metadata", {})
+            if md.get("compaction") or md.get("phase") == "bootstrap":
+                continue
+            out.append(e)
+        return out
+
     def _seen_count_estimate(self) -> int:
         """Cumulative seen-set size from committed manifests (driver-side
         JSON reads, no Spark action) — gates the Bloom prefilter."""
@@ -173,6 +192,34 @@ class CrawlEngine:
             md = self.catalog.manifest(e).get("metadata", {})
             total += int(md.get("seen_rows", 0))
         return total
+
+    def _bloom_for(self, seen: DataFrame):
+        """Cached partitioned Bloom over ``seen`` (epoch column present).
+        Builds at most once per ``bloom_rebuild_epochs`` worked epochs — and
+        after a compaction, which renumbers seen rows so the whole set would
+        otherwise count as 'recent'.  Returns (bloom, recent_seen)."""
+        last = self.catalog.last_committed_epoch()
+        bloom = getattr(self, "_bloom", None)
+        compacted_since = bloom is not None and any(
+            self.catalog.manifest(e).get("metadata", {}).get("compaction")
+            for e in self.catalog.committed_epochs()
+            if e > bloom.built_upto_epoch
+        )
+        if (
+            bloom is None
+            or compacted_since
+            or last - bloom.built_upto_epoch >= self.cfg.bloom_rebuild_epochs
+        ):
+            if bloom is not None:
+                bloom.unpersist()
+            bloom = build_partitioned_bloom(
+                seen, candidates_have_host=True, built_upto_epoch=last)
+            self._bloom = bloom
+        recent = (
+            seen.filter(F.col("epoch") > bloom.built_upto_epoch)
+            if bloom.built_upto_epoch < last else None
+        )
+        return bloom, recent
 
     def _pending(self) -> DataFrame | None:
         frontier = self.catalog.read("frontier")
@@ -185,9 +232,16 @@ class CrawlEngine:
             and self.cfg.bloom_min_seen is not None
             and self._seen_count_estimate() >= self.cfg.bloom_min_seen
         )
-        pending = frontier if seen is None else anti_join_seen(
-            frontier, seen.drop("epoch"), use_bloom=use_bloom
-        )
+        if seen is None:
+            pending = frontier
+        elif use_bloom:
+            bloom, recent = self._bloom_for(seen)
+            pending = anti_join_seen(
+                frontier, seen.drop("epoch"), bloom=bloom,
+                recent_seen=recent.drop("epoch") if recent is not None else None,
+            )
+        else:
+            pending = anti_join_seen(frontier, seen.drop("epoch"))
         # rediscovered urls keep one row; retried rows win (highest retry_count
         # → demoted in the politeness order), ties broken by earliest epoch
         return dedup_keep_last(pending, ["url_hash"], "retry_count", tiebreak=["epoch_added"])
@@ -209,14 +263,19 @@ class CrawlEngine:
         )
 
         # circuit breaker: hosts that tripped in the cooldown window are
-        # OPEN — their urls sit out this epoch (stay pending, no seen rows)
+        # OPEN — their urls sit out this epoch (stay pending, no seen rows).
+        # the window is counted in WORKED epochs (failures are only recorded
+        # on those), so an intervening compaction commit — which consumes a
+        # catalog epoch number — cannot silently shorten the cooldown
         breaker = self.catalog.read("breaker")
         if breaker is not None and cfgc.breaker_threshold > 0:
+            recent_worked = self._worked_epochs()[-cfgc.breaker_cooldown_epochs:]
+            window_start = min(recent_worked) if recent_worked else epoch
             open_hosts = (
                 breaker.drop("epoch")
                 .filter(
                     (F.col("n_failures") >= cfgc.breaker_threshold)
-                    & (F.col("fail_epoch") >= epoch - cfgc.breaker_cooldown_epochs)
+                    & (F.col("fail_epoch") >= window_start)
                 )
                 .select("host").distinct()
                 .withColumn("_open", F.lit(True))
@@ -457,10 +516,12 @@ class CrawlEngine:
             self.init_frontier(seeds)
         out = []
         while True:
-            # recompute each turn: compaction commits consume epoch numbers
-            epoch = self.catalog.last_committed_epoch() + 1
-            if epoch > self.cfg.max_epochs:
+            # recompute each turn: compaction commits consume epoch numbers,
+            # so the epoch NUMBER advances past them — but the max_epochs
+            # bound counts WORKED epochs only
+            if len(self._worked_epochs()) >= self.cfg.max_epochs:
                 break
+            epoch = self.catalog.last_committed_epoch() + 1
             m = self.run_epoch(epoch)
             if m is None:
                 break

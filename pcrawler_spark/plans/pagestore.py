@@ -33,25 +33,60 @@ from pyspark.sql import functions as F
 from ..functions.udfs import with_url_hash
 
 
+#: column list + DDL schema of the bucketed store (register_bucketed_pages
+#: must declare exactly what write_bucketed_pages wrote)
+PAGES_TABLE_COLUMNS = ["url_hash", "canon_url", "host", "warc_ts", "html", "text", "lang"]
+_PAGES_TABLE_DDL_SCHEMA = (
+    "url_hash BIGINT, canon_url STRING, host STRING, warc_ts TIMESTAMP, "
+    "html BINARY, text STRING, lang STRING"
+)
+
+
 def write_bucketed_pages(pages: DataFrame, table_name: str,
-                         n_buckets: int = 64) -> None:
+                         n_buckets: int = 64, path: str | None = None) -> None:
     """Materialize the canonical page index as a bucketed table (one-time
     layout cost; append-only afterwards).  Keep-oldest dedup happens HERE so
     ``url_hash`` is unique — the fetch join then runs on exactly the bucket
     column and Spark needs no exchange at all on this side (a join on a
     SUPERSET of the bucket spec, e.g. (url_hash, warc_ts), would re-shuffle
-    the wide rows)."""
+    the wide rows).
+
+    ``path`` makes the table EXTERNAL: the parquet layout survives the
+    session, and a later session re-attaches with
+    :func:`register_bucketed_pages` (the in-memory catalog itself does not
+    persist — on a real lakehouse the Iceberg/Hive metastore does this).
+
+    The input is repartitioned on the bucket column first so each task
+    writes one bucket's file instead of every task writing a sliver of
+    every bucket (n_tasks × n_buckets small files)."""
     from ..operators.dedup import dedup_keep_first
 
     idx = with_url_hash(pages.filter(F.length("html") > 100), "url")
     idx = dedup_keep_first(idx, ["url_hash"], "warc_ts", tiebreak=["canon_url"])
-    (
-        idx.select("url_hash", "canon_url", "host", "warc_ts", "html", "text", "lang")
+    writer = (
+        idx.select(*PAGES_TABLE_COLUMNS)
+        .repartition(n_buckets, "url_hash")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "url_hash")
         .sortBy("url_hash")
         .format("parquet")
-        .saveAsTable(table_name)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def register_bucketed_pages(spark: SparkSession, table_name: str, path: str,
+                            n_buckets: int = 64) -> None:
+    """Re-attach an existing bucketed page store written by
+    :func:`write_bucketed_pages` in a previous session.  Spark encodes the
+    bucket id in each data file's name, so declaring the same CLUSTERED BY
+    spec over the same location restores the exchange-free join plan."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({_PAGES_TABLE_DDL_SCHEMA}) USING parquet "
+        f"CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
     )
 
 

@@ -167,3 +167,51 @@ def schedule_and_extract(
     return fetched.select(
         "url_hash", "canon_url", "kind", "url_type", "html"
     ).mapInPandas(_extract_batch, EXTRACT_ALL_SCHEMA)
+
+
+def schedule_and_extract_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    hosts: DataFrame,
+    epoch_seconds: float = 1e9,
+    directory_host: str = "1900.example.vn",
+    num_partitions: int | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """The steady-state pass over a BUCKETED page store
+    (plans/pagestore.py) — the no-broadcast 10^10-scale shape:
+
+    * the store is already canonicalized, deduped keep-oldest, and
+      length-gated at write time, so the scheduling chain starts straight
+      from a narrow (url_hash, host, warc_ts) column-pruned scan;
+    * the fetch join needs NO broadcast and NO exchange on the pages side:
+      the scheduled key set — one long per row — shuffles into the store's
+      bucket layout and probes per bucket, streaming the wide ``html`` rows
+      from the bucketed scan directly into the Arrow extraction stage.
+
+    Versus the broadcast path this removes the driver-side hashed-relation
+    build, whose cost grows with the schedule size and does not parallelize
+    with executors — exactly the term that erodes N→4N scaling efficiency
+    once an epoch schedules 10^6+ URLs.
+
+    ``sample_mod`` keeps a deterministic ~1/mod hash sample of the store —
+    a distributed warm-up subset that still touches every bucket (a
+    ``limit()`` would collapse to one task)."""
+    pages = spark.table(table_name)
+    if sample_mod is not None:
+        pages = pages.filter(F.pmod(F.xxhash64("url_hash"), F.lit(sample_mod)) == 0)
+    meta = classify_urls(
+        pages.select("url_hash", "canon_url", "host", "warc_ts"), directory_host
+    ).withColumn(
+        "priority",
+        F.when(F.col("kind") == "listing", 0).when(F.col("kind") == "detail", 1).otherwise(2),
+    ).withColumn("retry_count", F.lit(0))
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    meta = meta.repartition(P, "host")  # the scheduling chain's ONE exchange
+    decided = politeness_decide(meta, hosts, epoch_seconds=epoch_seconds)
+    keys = decided.filter(F.col("decision") == "scheduled").select("url_hash")
+    fetched = pages.join(keys.hint("shuffle_hash"), on="url_hash", how="inner")
+    fetched = classify_urls(fetched, directory_host)
+    return fetched.select(
+        "url_hash", "canon_url", "kind", "url_type", "html"
+    ).mapInPandas(_extract_batch, EXTRACT_ALL_SCHEMA)

@@ -119,25 +119,47 @@ def run_extract_to_parquet(spark: SparkSession, input_dir: str, output_dir: str,
       checkpoint commit) overwrites its own output instead of appending
       duplicate rows;
     * a url_hash arriving again in a LATER batch is dropped by an anti-join
-      against the already-committed partitions (same discipline as the epoch
-      engine's frontier ∖ seen).
+      against a compact ``_seen(url_hash)`` side table maintained per batch
+      (same discipline as the epoch engine's frontier ∖ seen) — NOT by
+      re-reading every committed wide output partition: at scale that scan
+      grows with total output while the seen table is one slim column;
+    * only the specific nothing-committed-yet condition (PATH_NOT_FOUND) is
+      tolerated when reading the seen table — any other read failure
+      (transient FS error, corrupt footer) fails the batch so the stream's
+      checkpoint retries it instead of silently disabling dedup.
+
+    The ``_seen`` dir's underscore prefix makes it invisible to parquet
+    readers of ``output_dir`` (Hadoop hides ``_``-prefixed paths), so
+    consumers see only the wide batch partitions.
     """
+    from pyspark.errors import AnalysisException
+
     out = extract_stream(read_pages_stream(spark, input_dir))
+    seen_root = f"{output_dir}/_seen"
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates(["url_hash"])
         try:
             prior = (
-                sp.read.option("basePath", output_dir).parquet(output_dir)
+                sp.read.option("basePath", seen_root).parquet(seen_root)
                 # a replayed batch must not anti-join against its own rows
                 .filter(F.col("batch_id") != batch_id)
                 .select("url_hash")
             )
+        except AnalysisException as e:
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise  # genuine storage/schema error → let the batch retry
+            prior = None  # nothing committed yet
+        if prior is not None:
             batch_df = batch_df.join(prior, on="url_hash", how="left_anti")
-        except Exception:
-            pass  # nothing committed yet
+        batch_df.persist()
         batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        (
+            batch_df.select("url_hash")
+            .write.mode("overwrite").parquet(f"{seen_root}/batch_id={batch_id}")
+        )
+        batch_df.unpersist()
 
     writer = out.writeStream.foreachBatch(commit).option("checkpointLocation", checkpoint_dir)
     if available_now:

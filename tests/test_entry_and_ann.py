@@ -67,3 +67,63 @@ def test_hyperplane_lsh_recall_on_near_dups(spark):
     assert lsh <= exact  # the exact-cosine filter admits no false positives
     recall = len(lsh) / len(exact)
     assert recall >= 0.9, f"recall {recall}: {len(lsh)}/{len(exact)}"
+
+
+def test_hyperplane_precomputed_matrix_matches_md5_path(spark):
+    """The driver-precomputed ±1 matrix (dim=...) must produce EXACTLY the
+    signatures of the per-element md5 derivation — same values, one
+    constant-factor cheaper plan — and reject wrong-dimension vectors."""
+    import math
+
+    import pytest
+    from pcrawler_spark.operators.knn import hyperplane_lsh_pairs
+
+    rows = [
+        (i, [math.sin(0.7 * (i % 6 + 1) * (j + 1)) + 0.02 * math.sin(2.3 * i * (j + 3))
+             for j in range(12)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_bits=16, max_hamming=4)
+    slow = {(r.id_a, r.id_b, r.cos) for r in hyperplane_lsh_pairs(df, **kw).collect()}
+    fast = {(r.id_a, r.id_b, r.cos) for r in hyperplane_lsh_pairs(df, dim=12, **kw).collect()}
+    assert fast == slow and len(fast) > 0
+
+    with pytest.raises(Exception, match="expected dim"):
+        hyperplane_lsh_pairs(df, dim=10, **kw).collect()
+
+
+def test_learned_ivf_recall_and_kmeans_properties(spark):
+    """Learned-cell IVF (k-means fit) must hold the same recall@5 bar as the
+    label-cell path against exact brute force, and the fit itself must be
+    deterministic (fixed init, no RNG) with non-degenerate cells."""
+    from pcrawler_spark.operators.knn import assign_cells, kmeans_fit
+    from pyspark.sql import functions as F
+
+    bf = entry_mod.q29_knn_bruteforce(spark, SF_DIR).collect()
+    ivf = entry_mod.q49_knn_ivf_learned(spark, SF_DIR).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in ivf:
+        total += 1
+        hits += r.neighbor_id in bf_sets[r.query_id]
+    recall = hits / max(total, 1)
+    assert recall >= 0.3, f"learned-IVF recall@5 too low: {recall}"
+    bf_cos = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf_cos:
+            assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_fit(e, n_cells=8, n_iter=3)
+    again = kmeans_fit(e, n_cells=8, n_iter=3)
+    c1 = sorted((r.cell, tuple(r.centroid)) for r in cents.collect())
+    c2 = sorted((r.cell, tuple(r.centroid)) for r in again.collect())
+    assert c1 == c2, "k-means fit must be deterministic"
+    assigned = assign_cells(
+        e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").cast("array<double>").alias("v")), cents)
+    sizes = {r.cell: r.n for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) >= 6, f"cells collapsed: {sizes}"

@@ -51,6 +51,39 @@ def test_fixtures_match_generator():
     pd.testing.assert_frame_equal(got34, want34)
 
 
+def test_q36_media_fixture_fresh_and_decoders_agree():
+    """The checked-in expected-features fixture must match (a) the spec
+    arithmetic in make_fixtures.q36_expected and (b) what the decoders under
+    test actually produce for the same payloads — two independent
+    derivations meeting at the fixture."""
+    import make_fixtures as mf
+    from pcrawler_spark.operators.multimodal import _decode_one, make_ppm, make_wav
+
+    want = mf.q36_expected()
+    got = pd.read_parquet(os.path.join(FIX, "q36_media_truth.parquet"))
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+    # decoder cross-check (the fixture was NOT produced by these calls)
+    import numpy as np
+    for i in range(30):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            payload = make_ppm(16 + i % 5, 12, i)
+        elif kind == "audio":
+            payload = make_wav(4000 + 100 * i, 16000, i)
+        else:
+            payload = bytes([i % 251] * (50 + i))
+        if i in (9, 10):
+            payload = payload[:20]
+        codec, feats, ok = _decode_one(payload)
+        row = want[want.media_id == i].iloc[0]
+        assert codec == row["codec"] and ok == row["decode_ok"], i
+        if feats is None:
+            assert pd.isna(row["f0"]), i
+        else:
+            assert float(np.float32(feats[0])) == row["f0"], i
+
+
 def test_robots_fixture_matches_source():
     import make_fixtures as mf  # noqa: F401 — regenerating in a tmp place is overkill;
     # the robots fixture is a literal table in make_fixtures — assert parity
