@@ -53,9 +53,62 @@ def _is_valid_vn_nsn(nsn: str) -> bool:
     return False
 
 
-def _intl_plausible(plus_number: str) -> bool:
+# Vendored subset of PUBLIC international numbering metadata (ITU-T E.164
+# country codes + national-number patterns as published in libphonenumber's
+# open metadata).  The reference validates via the `phonenumbers` library
+# (e164_phone_normalizer.py:248-311), which is not in this env; these
+# patterns reproduce its is_valid_number outcome for the most common
+# countries.  Keys are country calling codes, values validate the NSN
+# (digits after the country code).
+INTL_NSN_RULES = {
+    "1": re.compile(r"[2-9]\d{2}[2-9]\d{6}"),           # NANP (US/CA): NXX-NXX-XXXX
+    "44": re.compile(r"7[1-9]\d{8}|[123]\d{9}|8\d{8,9}"),  # UK mobile/geo/non-geo
+    "33": re.compile(r"[1-9]\d{8}"),                     # FR: 9 NSN digits
+    "49": re.compile(r"[1-9]\d{5,10}"),                  # DE: variable length
+    "61": re.compile(r"[2-478]\d{8}"),                   # AU
+    "65": re.compile(r"[3689]\d{7}"),                    # SG: 8 digits
+    "66": re.compile(r"[2-9]\d{7,8}"),                   # TH
+    "81": re.compile(r"[1-9]\d{8,9}"),                   # JP
+    "82": re.compile(r"[1-9]\d{7,9}"),                   # KR
+    "86": re.compile(r"1[3-9]\d{9}|[2-9]\d{8,10}"),      # CN mobile/landline
+    "91": re.compile(r"[6-9]\d{9}"),                     # IN: 10 digits
+}
+
+
+def is_valid_international(plus_number: str) -> bool:
+    """True when a ``+``-prefixed number is valid under the vendored
+    metadata: country code recognized (longest match first) and NSN matching
+    that country's pattern; unknown country codes fall back to the E.164
+    length bound (8-15 digits) — the same 'cannot parse' tolerance the
+    reference applies when phonenumbers raises (:255-269)."""
     digits = plus_number[1:]
-    return digits.isdigit() and 8 <= len(digits) <= 15
+    if not (digits.isdigit() and 8 <= len(digits) <= 15):
+        return False
+    for cc_len in (3, 2, 1):
+        rule = INTL_NSN_RULES.get(digits[:cc_len])
+        if rule is not None:
+            return bool(rule.fullmatch(digits[cc_len:]))
+    return True
+
+
+def _intl_plausible(plus_number: str) -> bool:
+    """Keep-or-drop rule for non-VN ``+`` numbers, mirroring the reference's
+    actual control flow (e164_phone_normalizer.py):
+
+    * ``len(cleaned) > 10`` (≥10 digits): the reference keeps the number
+      VERBATIM even when phonenumbers says invalid (:248-269 — invalid
+      parses fall through to ``return cleaned``), so only the E.164 length
+      bound applies;
+    * shorter ``+`` numbers (:302-311) are kept only when genuinely valid —
+      here: the vendored per-country NSN patterns."""
+    digits = plus_number[1:]
+    if not (digits.isdigit() and 8 <= len(digits) <= 15):
+        return False
+    if len(plus_number) > 10:
+        return True
+    return is_valid_international(plus_number) and any(
+        digits[:cc_len] in INTL_NSN_RULES for cc_len in (3, 2, 1)
+    )
 
 
 def normalize_phone(phone: Optional[str]) -> Optional[str]:

@@ -273,3 +273,28 @@ def test_parse_robots():
     assert parse_robots(None) == (None, [])
     # invalid crawl-delay ignored
     assert parse_robots("User-agent: *\nCrawl-delay: soon\nDisallow: /d\n") == (None, ["/d"])
+
+
+def test_vendored_international_phone_metadata():
+    """Vendored public E.164/libphonenumber metadata subset: validity
+    classification across 11 common country codes, and the reference's
+    keep-long-plus-numbers-verbatim control flow
+    (e164_phone_normalizer.py:248-311)."""
+    from pcrawler_spark.kernels.phones import is_valid_international, normalize_phone
+
+    valid = ["+14155552671", "+442079460958", "+447911123456", "+33123456789",
+             "+493012345678", "+61212345678", "+6591234567", "+66812345678",
+             "+81312345678", "+821012345678", "+8613812345678", "+919876543210"]
+    for v in valid:
+        assert is_valid_international(v), v
+    invalid = ["+15551234567", "+11234567890", "+4407911", "+6512345678",
+               "+911234567890", "+86231"]
+    for v in invalid:
+        assert not is_valid_international(v), v
+    # reference control flow: >10-char + numbers are KEPT even when invalid
+    assert normalize_phone("+15551234567") == "+15551234567"
+    # short + numbers need a genuinely valid NSN
+    assert normalize_phone("+65912345") is None
+    assert normalize_phone("+987654321") is None
+    # bare long digits are promoted to + and kept
+    assert normalize_phone("8613812345678") == "+8613812345678"

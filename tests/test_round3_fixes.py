@@ -279,3 +279,57 @@ def test_stream_sink_reads_only_seen_table(spark, tmp_path, monkeypatch):
         f"sink must not re-read wide output partitions: {commit_reads}")
     # effective exactly-once held: replayed urls added zero rows
     assert spark.read.parquet(out_dir).count() == n0
+
+
+# ---------------------------------------------------------------------------
+# Zipf mega-host skew: the salting knobs must actually defuse it
+# ---------------------------------------------------------------------------
+
+def test_zipf_mega_host_skew_defusal(spark):
+    """A frontier where ONE host holds ~50% of the URLs: plain
+    repartition(host) serializes the mega host into a single partition (its
+    sort/extract task IS the wall at scale), while salted_repartition
+    spreads it near-uniformly; the salted rank's phase-1 (host, salt) groups
+    are likewise bounded by ~mega/k.  Decision equivalence is covered by
+    test_salted_rank_equivalence — this test proves the knob changes the
+    physical distribution, not just the plan."""
+    import pandas as pd
+
+    from pcrawler_spark.operators.politeness import salted_repartition
+
+    n_mega, n_rest = 40_000, 40_000
+    pdf = pd.DataFrame({
+        "canon_url": [f"https://mega.vn/p/{i}" for i in range(n_mega)]
+                     + [f"https://h{i % 200}.vn/p/{i}" for i in range(n_rest)],
+        "host": ["mega.vn"] * n_mega + [f"h{i % 200}.vn" for i in range(n_rest)],
+        "priority": 1,
+        "retry_count": 0,
+        "url_hash": list(range(n_mega + n_rest)),
+    })
+    df = spark.createDataFrame(pdf)
+    P = 16
+
+    def max_partition_rows(d):
+        sizes = d.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        return max(r["count"] for r in sizes)
+
+    mu = max_partition_rows(df.repartition(P, "host"))
+    salted = salted_repartition(df, target_rows_per_partition=2_500, num_partitions=P)
+    ms = max_partition_rows(salted)
+    assert mu >= n_mega, f"unsalted should serialize the mega host: {mu}"
+    # per-partition load: strictly better (collision noise keeps it above
+    # the per-group bound — that bound is asserted exactly below)
+    assert ms <= mu // 2, f"salting should spread the mega host: {ms} vs {mu}"
+    # per-(host, salt) group sizes are bounded by the configured target:
+    # this is the design invariant (partition load = sum of whole groups)
+    gmax = max(
+        r["count"] for r in salted.groupBy(
+            "host", F.pmod(F.xxhash64("url_hash", F.lit(17)), F.lit(16)).alias("s")
+        ).count().collect()
+    )
+    assert gmax <= 2_500 * 1.1, gmax
+
+    # the salted-rank phase-1 partitions (host, salt) are bounded ~mega/k
+    k = 8
+    g = df.groupBy("host", F.pmod(F.xxhash64("url_hash"), F.lit(k)).alias("s")).count()
+    assert max(r["count"] for r in g.collect()) <= int(n_mega / k * 1.3)
