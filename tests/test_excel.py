@@ -1,0 +1,140 @@
+"""S14 Excel source/sink: stdlib OOXML round-trip + the reference tool's
+phone pipeline (app/tools/e164_phone_normalizer.py:314-357,582-622)."""
+
+import zipfile
+
+
+from pcrawler_spark.sources.excel import (
+    _colindex,
+    _colref,
+    excel_phone_pipeline,
+    read_xlsx,
+    write_xlsx,
+    xlsx_to_dataframe,
+)
+
+def test_colref_roundtrip():
+    for i in [0, 1, 25, 26, 27, 51, 52, 701, 702, 16383]:
+        assert _colindex(_colref(i) + "7") == i
+    assert _colref(0) == "A" and _colref(25) == "Z"
+    assert _colref(26) == "AA" and _colref(701) == "ZZ" and _colref(702) == "AAA"
+
+
+def test_write_read_roundtrip(tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    cols = ["name", "n", "ratio", "note", "flag"]
+    rows = [
+        ["Công ty TNHH Số 1", 42, 3.5, "xin chào <&> \"quotes\"", True],
+        ["b", -7, 0.125, None, False],
+        [None, None, None, "", None],
+    ]
+    write_xlsx(path, cols, rows)
+    rcols, rrows = read_xlsx(path)
+    assert rcols == cols
+    assert rrows == rows
+    # types survive: int stays int, float stays float, bool stays bool
+    assert isinstance(rrows[0][1], int) and isinstance(rrows[0][2], float)
+    assert rrows[0][4] is True and rrows[1][4] is False
+
+
+def test_read_shared_strings_and_sparse_cells(tmp_path):
+    """Files written by openpyxl/pandas use sharedStrings and may omit empty
+    cells entirely (sparse rows addressed by r= refs) — the reader must
+    handle both even though our writer never emits them."""
+    path = str(tmp_path / "shared.xlsx")
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>id</t></si><si><t>val</t></si>"
+        "<si><r><t>rich </t></r><r><t>text</t></r></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c><c r="C2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="C3" t="str"><v>cached</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    cols, rows = read_xlsx(path)
+    assert cols == ["id", "col1", "val"]  # gap column gets a synthetic name
+    assert rows == [[7, None, "rich text"], [None, None, "cached"]]
+
+
+def test_nan_inf_become_blank(tmp_path):
+    path = str(tmp_path / "nan.xlsx")
+    write_xlsx(path, ["x"], [[float("nan")], [float("inf")], [1.0]])
+    _, rows = read_xlsx(path)
+    assert rows == [[None], [None], [1.0]]
+
+
+def test_spark_dataframe_roundtrip(spark, tmp_path):  # noqa: F811
+    from pcrawler_spark.sources.excel import dataframe_to_xlsx
+
+    df = spark.createDataFrame(
+        [(1, "Hà Nội", 2.5), (2, None, None), (3, "x<&>y", -1.0)],
+        "id bigint, city string, score double",
+    )
+    path = str(tmp_path / "df.xlsx")
+    dataframe_to_xlsx(df, path)
+    back = xlsx_to_dataframe(spark, path)
+    assert back.columns == ["id", "city", "score"]
+    got = sorted([tuple(r) for r in back.collect()])
+    assert got == [(1, "Hà Nội", 2.5), (2, None, None), (3, "x<&>y", -1.0)]
+
+
+def test_excel_phone_pipeline(spark, tmp_path):  # noqa: F811
+    """End-to-end analogue of process_excel_e164: multi-phone cells split to
+    one row per normalized number; no-phone rows survive with ''; numeric
+    cells lose the float decimal before normalization (:385-390)."""
+    src = str(tmp_path / "in.xlsx")
+    out = str(tmp_path / "out.xlsx")
+    write_xlsx(
+        src,
+        ["company", "contact"],
+        [
+            ["A", "0912345678; 0329999999"],
+            ["B", "+84 28 3822 1234"],
+            ["C", "no digits here"],
+            ["D", None],
+            ["E", 84912345678.0],  # numeric cell → '84912345678'
+        ],
+    )
+    res = excel_phone_pipeline(spark, src, output_path=out)
+    got = sorted((r["company"], r["final_phone"]) for r in res.collect())
+    assert got == [
+        ("A", "+84329999999"),
+        ("A", "+84912345678"),
+        ("B", ""),  # VN landline w/ spaces: invalid NSN → dropped (q35 row 2)
+        ("C", ""),
+        ("D", ""),
+        ("E", "+84912345678"),
+    ]
+    # the sink round-trips the split result
+    cols, rows = read_xlsx(out)
+    assert cols == ["company", "contact", "final_phone"]
+    assert sorted(r[2] for r in rows) == sorted(g[1] for g in got)
+
+
+def test_phone_column_autodetect_explicit_override(spark, tmp_path):  # noqa: F811
+    src = str(tmp_path / "in2.xlsx")
+    write_xlsx(
+        src,
+        ["id", "website", "hotline"],
+        [[1, "https://example.vn/123456789", "0912345678"]],
+    )
+    # autodetect picks the FIRST phone-ish column (the reference's rule,
+    # :366-378) — here 'website' (has a 9-digit run); explicit wins
+    res = excel_phone_pipeline(spark, src, phone_column="hotline")
+    assert [r["final_phone"] for r in res.collect()] == ["+84912345678"]
+
+
+def test_empty_sheet(tmp_path):
+    path = str(tmp_path / "empty.xlsx")
+    write_xlsx(path, ["a", "b"], [])
+    cols, rows = read_xlsx(path)
+    assert cols == ["a", "b"] and rows == []
