@@ -1,0 +1,139 @@
+"""Connected components over near-duplicate pair graphs — the clustering
+step that turns dedup PAIRS (MinHash/SimHash/Jaccard/embedding output) into
+dedup GROUPS, so a pipeline can keep one canonical document per group.
+
+The reference has no graph step at all (its dedup is per-key SQL DELETE,
+pcrawler's `crawler/db.py` unique constraints); at 100 TB the near-dup graph
+itself is billions of edges, so this uses the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public): each round is two groupBy/join passes over the
+edge list, and the edge diameter collapses in O(log^2 n) rounds — NOT the
+O(diameter) of naive label propagation, which livelocks on long chains
+(exactly what page-near-dup graphs produce across mirror farms).
+
+Scale shape per round: symmetrize → groupBy(min) → same-key join (the
+aggregation's exchange is reused by the join), then distinct.  Lineage is
+truncated every round with localCheckpoint (iterative joins otherwise stack
+plans until the driver OOMs planning, long before data is the problem);
+convergence is detected with ONE bounded agg action per round (count +
+order-free hash-sum signature), the same 2-actions-per-pass discipline the
+epoch engine enforces.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "canonical_docs"]
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    b = _sym(e)
+    m = (
+        b.groupBy("u").agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        b.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect every neighbor (and u itself)
+    to the minimum of the oriented neighborhood."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    j = d.join(m, "u")
+    out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        m.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _signature(e: DataFrame):
+    """Order-free convergence signature in ONE action: (edge count,
+    sum of per-edge hashes).  Equal signatures on a distinct edge set mean
+    an unchanged set (hash-sum collision would need an exact multiset
+    cancellation over xxhash64 — not a correctness risk worth a 2nd scan,
+    and a false 'converged' is impossible anyway: star steps are monotone,
+    an unchanged count+sum only occurs at the fixpoint)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: xxhash64 values sum past the long range under ANSI
+        F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25,
+                         num_partitions: Optional[int] = None) -> DataFrame:
+    """→ DataFrame(id long, component long): every node of the (undirected)
+    edge list labeled with the MINIMUM node id of its component.
+
+    ``max_iter`` is a backstop: large/small-star converges in O(log^2 n)
+    rounds (~10 for 10^10 nodes); hitting the cap raises rather than
+    silently returning partial clusters.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    if num_partitions:
+        e = e.repartition(num_partitions, "u")
+    nodes = _sym(e).select("u").distinct()
+
+    e = e.localCheckpoint(eager=True)
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # at the fixpoint the edge set is a union of stars (child → root); a
+    # node with no surviving edge is its own component's root
+    labels = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("id"),
+            F.coalesce("component", F.col("u")).alias("component"),
+        )
+    )
+
+
+def canonical_docs(docs: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE document per near-dup cluster: the component root (minimum
+    id — deterministic, no tie-break shuffle).  Documents that appear in no
+    pair are their own cluster and always survive."""
+    roots = components.where(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    in_graph = components.select(F.col("id").alias(id_col))
+    keep_missing = docs.join(in_graph, id_col, "left_anti")
+    return docs.join(roots, id_col, "left_semi").unionByName(keep_missing)
