@@ -30,7 +30,18 @@ __all__ = ["connected_components", "canonical_docs"]
 
 
 def _sym(e: DataFrame) -> DataFrame:
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # explode(array(fwd, rev)) rather than a self-union: one scan instead of
+    # two, and it sidesteps a Catalyst Union constraint-rewrite crash
+    # (NoSuchElementException in UnionBase.rewriteConstraints) that
+    # self-unions of derived plans can trigger on Spark 4.1
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -57,9 +68,16 @@ def _small_star(e: DataFrame) -> DataFrame:
     ).distinct()
     m = d.groupBy("u").agg(F.min("v").alias("m"))
     j = d.join(m, "u")
-    out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-        m.select(F.col("u"), F.col("m").alias("v"))
-    )
+    # emit (v, m) per neighbor and (u, m) — via explode, not a self-union
+    # (see _sym); the duplicate (u, m) rows collapse in the distinct
+    out = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
