@@ -276,6 +276,163 @@ def ivf_topk_learned(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _sq_l2(a, b):
+    """Σ (a_i - b_i)² as a sequential JVM fold — the same summation shape
+    the DuckDB oracle replays (list_dot_product of the difference list)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _explode_subvectors(vec_col, m_sub: int, sub_dim: int):
+    """(sub, sv) pairs: contiguous ``sub_dim``-wide slices of the vector."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(vec_col, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m_sub)
+        ])
+    )
+
+
+def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
+           n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+           round_dp: int = 6) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11 — public): the vector is split
+    into ``m_sub`` contiguous subspaces and each subspace gets its own
+    ``n_codes``-entry L2 k-means codebook, so a dim-D float vector
+    compresses to ``m_sub`` bytes of codes — the only way 10^10 embeddings
+    fit in cluster RAM for the re-rank scan.
+
+    Same determinism discipline as :func:`kmeans_fit` (q49): min-id init,
+    assign = argmin ROUNDed squared L2 with code-id tiebreak, update =
+    per-dimension AVG, empty codes keep their centroid; every Lloyd
+    iteration is one broadcast-join assign + one groupBy update, with only
+    the m_sub × n_codes × (dim/m_sub) codebook collected per iteration.
+
+    Returns (sub int, code int, cvec array<double>)."""
+    if dim % m_sub:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    sub_dim = dim // m_sub
+    spark = corpus.sparkSession
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
+          .select("id", "_s.sub", "_s.sv")
+
+    init = e.orderBy("id").limit(n_codes).collect()
+    cb = {
+        (s, c): list(r["v"])[s * sub_dim:(s + 1) * sub_dim]
+        for c, r in enumerate(init) for s in range(m_sub)
+    }
+
+    def cdf():
+        return spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(cb.items())],
+            "sub int, code int, cvec array<double>",
+        )
+
+    w = Window.partitionBy("id", "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    for _ in range(n_iter):
+        assigned = (
+            sv.join(F.broadcast(cdf()), "sub")
+            .withColumn("_d", F.round(_sq_l2(F.col("sv"), F.col("cvec")), round_dp))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        upd = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        new: dict = {}
+        for r in upd:
+            new.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["c"]
+        for key, by_pos in new.items():
+            cb[key] = [by_pos[p] for p in sorted(by_pos)]
+        # codes absent from `new` (no members this round) keep old centroids
+    return cdf()
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, dim: int, m_sub: int,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              round_dp: int = 6) -> DataFrame:
+    """(id, sub, code): each subvector assigned to its nearest codebook
+    entry (rounded L2, code tiebreak).  This is the compressed corpus —
+    m_sub small ints per vector."""
+    sub_dim = dim // m_sub
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
+          .select("id", "_s.sub", "_s.sv")
+    w = Window.partitionBy("id", "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    return (
+        sv.join(F.broadcast(codebook), "sub")
+        .withColumn("_d", F.round(_sq_l2(F.col("sv"), F.col("cvec")), round_dp))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "sub", "code")
+    )
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+            m_sub: int = 4, n_codes: int = 8, n_iter: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN by asymmetric distance computation (ADC) over PQ codes: each
+    query precomputes an m_sub × n_codes distance table against the
+    codebooks (tiny — broadcast), then a document's approximate distance is
+    the SUM of m_sub table lookups over its codes; the corpus is touched
+    only through its (id, sub, code) encoding — the full vectors never
+    rescan.  Plan shape at 10^10 vectors: the encoded corpus streams
+    map-side against the broadcast table (no shuffle), one partial-agg sum
+    per (query, doc), one top-k window.  Combine with the IVF cell filter
+    (:func:`ivf_topk_learned`) to prune candidates before the ADC scan.
+
+    Per-sub distances are floored to integer ppm (the floor-ppm discipline
+    of textstats) so the cross-doc SUM is an exact long — order-free and
+    bit-identical across engines.
+
+    Returns (query_id, neighbor_id, rank, adist_ppm)."""
+    sub_dim = dim // m_sub
+    cb = pq_fit(corpus, dim, m_sub, n_codes, n_iter, id_col, vec_col)
+    enc = pq_encode(corpus, cb, dim, m_sub, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qsv = q.select(
+        "query_id", _explode_subvectors(F.col("qv"), m_sub, sub_dim).alias("_s")
+    ).select("query_id", "_s.sub", "_s.sv")
+    dt = (
+        qsv.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "sub", "code",
+            F.floor(F.lit(1_000_000.0) * _sq_l2(F.col("sv"), F.col("cvec")))
+            .cast("long").alias("d_ppm"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(dt), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d_ppm").alias("adist_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_ppm").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_ppm")
+    )
+
+
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
               cell_col: str = "label") -> DataFrame:
     """Coarse-cell centroids (here cells = the given column; a k-means step

@@ -127,3 +127,52 @@ def test_learned_ivf_recall_and_kmeans_properties(spark):
                  F.col("embedding").cast("array<double>").alias("v")), cents)
     sizes = {r.cell: r.n for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
     assert len(sizes) >= 6, f"cells collapsed: {sizes}"
+
+
+def test_pq_adc_quality_and_compression(spark):
+    """PQ/ADC (q53): the approximate ranking must overlap the exact L2
+    ranking (recall@5 over the same corpus), the encoding must compress to
+    exactly m_sub codes per vector with codes < n_codes, and the fit must
+    be deterministic (re-run → identical codebook)."""
+    from pcrawler_spark.operators.knn import pq_encode, pq_fit, pq_topk
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+
+    pq = pq_topk(e, q, dim=64, k=5, m_sub=16, n_codes=32, n_iter=2).collect()
+    assert len(pq) == 10 * 5
+
+    # exact L2 ranking for recall (squared L2, same tiebreak)
+    ev = {r.vec_id: r.embedding for r in e.collect()}
+    import math
+    exact = {}
+    for qi in range(10):
+        qv = ev[qi]
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+            for i, v in ev.items() if i != qi
+        )
+        exact[qi] = {i for _, i in d[:5]}
+    hits = sum(r.neighbor_id in exact[r.query_id] for r in pq)
+    recall = hits / len(pq)
+    assert recall >= 0.3, f"PQ recall@5 too low: {recall}"
+
+    cb = pq_fit(e, dim=64, m_sub=16, n_codes=32, n_iter=2)
+    enc = pq_encode(e, cb, dim=64, m_sub=16)
+    per_vec = enc.groupBy("id").count().collect()
+    assert all(r["count"] == 16 for r in per_vec)
+    assert enc.filter((F.col("code") < 0) | (F.col("code") >= 32)).count() == 0
+    # deterministic fit
+    cb2 = pq_fit(e, dim=64, m_sub=16, n_codes=32, n_iter=2)
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
+
+    # subspace slicing is exact: codebook vectors are sub_dim wide
+    assert all(len(r["cvec"]) == 4 for r in cb.collect())
+
+
+def test_pq_dim_validation(spark):
+    from pcrawler_spark.operators.knn import pq_fit
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pq_fit(e, dim=64, m_sub=5)
