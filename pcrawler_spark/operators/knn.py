@@ -382,6 +382,77 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, dim: int, m_sub: int,
     )
 
 
+def _adc_table(q: DataFrame, cb: DataFrame, m_sub: int, sub_dim: int) -> DataFrame:
+    """Per-query ADC lookup table (query_id, sub, code, d_ppm): squared L2
+    from each query subvector to each codebook entry, floored to integer
+    ppm.  m_sub × n_codes rows per query — tiny, always broadcast."""
+    qsv = q.select(
+        "query_id", _explode_subvectors(F.col("qv"), m_sub, sub_dim).alias("_s")
+    ).select("query_id", "_s.sub", "_s.sv")
+    return (
+        qsv.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "sub", "code",
+            F.floor(F.lit(1_000_000.0) * _sq_l2(F.col("sv"), F.col("cvec")))
+            .cast("long").alias("d_ppm"),
+        )
+    )
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+                n_probe: int = 2, m_sub: int = 16, n_codes: int = 32,
+                n_iter: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding", cell_col: str = "label") -> DataFrame:
+    """The production 10^10-vector ANN shape: IVF coarse cells prune the
+    candidate set (each query touches ``n_probe`` cells ≈ n_probe/n_cells
+    of the corpus), then the ADC scan ranks ONLY the probed cells' members
+    through their PQ codes — full vectors are never rescanned.  Cells here
+    are the ``cell_col`` column (same contract as :func:`ivf_topk`; swap in
+    :func:`kmeans_fit` cells for the learned variant).
+
+    Plan: centroids and ADC tables broadcast; the encoded corpus is
+    partitioned by cell, so a probe is a partition-pruned join, and the
+    per-(query, doc) sum is an exact long (see :func:`pq_topk`).
+
+    Returns (query_id, neighbor_id, rank, adist_ppm)."""
+    sub_dim = dim // m_sub
+    cents = ivf_build(corpus, id_col, vec_col, cell_col)
+    cb = pq_fit(corpus, dim, m_sub, n_codes, n_iter, id_col, vec_col)
+    enc = pq_encode(corpus, cb, dim, m_sub, id_col, vec_col)
+    encl = enc.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell")), "id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", F.round(cosine_similarity_col("qv", "centroid"), 6))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    dt = _adc_table(q, cb, m_sub, sub_dim)
+    scored = (
+        encl.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .join(F.broadcast(dt), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d_ppm").alias("adist_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_ppm").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_ppm")
+    )
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             m_sub: int = 4, n_codes: int = 8, n_iter: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -406,17 +477,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    qsv = q.select(
-        "query_id", _explode_subvectors(F.col("qv"), m_sub, sub_dim).alias("_s")
-    ).select("query_id", "_s.sub", "_s.sv")
-    dt = (
-        qsv.join(F.broadcast(cb), "sub")
-        .select(
-            "query_id", "sub", "code",
-            F.floor(F.lit(1_000_000.0) * _sq_l2(F.col("sv"), F.col("cvec")))
-            .cast("long").alias("d_ppm"),
-        )
-    )
+    dt = _adc_table(q, cb, m_sub, sub_dim)
     scored = (
         enc.join(F.broadcast(dt), ["sub", "code"])
         .filter(F.col("query_id") != F.col("id"))

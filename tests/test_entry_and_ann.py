@@ -176,3 +176,27 @@ def test_pq_dim_validation(spark):
     e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
     with pytest.raises(ValueError):
         pq_fit(e, dim=64, m_sub=5)
+
+
+def test_ivf_pq_prunes_to_probed_cells(spark):
+    """q54's neighbors must all come from each query's 2 probed cells —
+    the candidate-set pruning is real, not decorative."""
+    from pcrawler_spark.operators.knn import ivf_build, cosine_similarity_col
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    res = entry_mod.q54_ivf_pq_topk(spark, SF_DIR).collect()
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+
+    cents = {r.cell: r.centroid for r in ivf_build(e).collect()}
+    qv = {r.vec_id: r.embedding for r in e.filter(F.col("vec_id") < 10).collect()}
+
+    import math
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 6)
+
+    for q in qv:
+        probed = sorted(cents, key=lambda c: (-cos(qv[q], cents[c]), c))[:2]
+        for r in res:
+            if r.query_id == q:
+                assert labels[r.neighbor_id] in probed, (q, r.neighbor_id)
