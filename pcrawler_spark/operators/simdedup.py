@@ -114,6 +114,25 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8,
     return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
 
 
+def minhash_bands(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Per-doc LSH band rows (doc, band, mh_0..mh_{band_rows-1}) — the
+    probe/store key set shared by the batch candidate join
+    (:func:`minhash_lsh_candidates`) and the streaming incremental
+    near-dup store (streaming/pipeline.py)."""
+    sig = minhash_signatures(df, n_hashes, id_col, text_col, n)
+    slot_cols = [
+        F.min(F.when(F.col("seed") % band_rows == r, F.col("minhash"))).alias(f"mh_{r}")
+        for r in range(band_rows)
+    ]
+    return (
+        sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc", "band")
+        .agg(*slot_cols)
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
                            id_col: str = "doc_id", text_col: str = "text",
                            n: int = 3) -> DataFrame:
@@ -123,16 +142,7 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
     into per-slot long columns (mh_0..mh_{r-1}) and the band equi-join runs
     on (band, mh_0, ..) — collision-free and ~half the shuffle bytes of the
     earlier string-concatenated key."""
-    sig = minhash_signatures(df, n_hashes, id_col, text_col, n)
-    slot_cols = [
-        F.min(F.when(F.col("seed") % band_rows == r, F.col("minhash"))).alias(f"mh_{r}")
-        for r in range(band_rows)
-    ]
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
-        .groupBy("doc", "band")
-        .agg(*slot_cols)
-    )
+    bands = minhash_bands(df, n_hashes, band_rows, id_col, text_col, n)
     join_keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
     return (
         bands.alias("a")

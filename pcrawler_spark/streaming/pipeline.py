@@ -165,3 +165,85 @@ def run_extract_to_parquet(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_neardup_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                       checkpoint_dir: str, n_hashes: int = 8,
+                       band_rows: int = 2, available_now: bool = True):
+    """Incremental near-duplicate detection over a document stream — the
+    streaming face of the batch MinHash-LSH dedup (operators/simdedup.py):
+
+    * each micro-batch's documents are MinHash-banded
+      (``minhash_bands``) and probe the accumulated ``_bands`` store plus
+      the batch's own bands; a doc that collides with a LOWER doc_id
+      (earlier original or smaller in-batch id) is flagged
+      ``is_dup=true, dup_of=<min colliding id>``;
+    * only ORIGINALS' bands enter the store, so the store grows with the
+      deduped corpus, not the raw stream, and a dup chain always points at
+      its canonical root's cluster representative set;
+    * exactly-once via the same discipline as :func:`run_extract_to_parquet`
+      — per-batch ``batch_id=<k>`` overwrite partitions for both the
+      flagged output and the band store, narrow PATH_NOT_FOUND tolerance.
+
+    Input: a parquet dir of (doc_id long, text string) files streamed with
+    ``maxFilesPerTrigger``-style batching.  Output rows:
+    (doc_id, is_dup boolean, dup_of long — null for originals).
+    """
+    from pyspark.errors import AnalysisException
+
+    from pcrawler_spark.operators.simdedup import minhash_bands
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    bands_root = f"{output_dir}/_bands"
+    keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(["doc_id"])
+        bands = minhash_bands(batch_df, n_hashes, band_rows).persist()
+        try:
+            prior = (
+                sp.read.option("basePath", bands_root).parquet(bands_root)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .select("doc", *keys)
+            )
+        except AnalysisException as e:
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise
+            prior = None
+        cand = bands.alias("a").join(bands.alias("b"), on=keys).filter(
+            F.col("a.doc") > F.col("b.doc")
+        ).select(F.col("a.doc").alias("doc"), F.col("b.doc").alias("hit"))
+        if prior is not None:
+            cand = cand.unionByName(
+                bands.alias("a").join(prior.alias("p"), on=keys)
+                .select(F.col("a.doc").alias("doc"), F.col("p.doc").alias("hit"))
+            )
+        dup_of = cand.groupBy("doc").agg(F.min("hit").alias("dup_of"))
+        flagged = (
+            batch_df.join(dup_of, batch_df["doc_id"] == dup_of["doc"], "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+            .persist()
+        )
+        flagged.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        originals = flagged.filter(~F.col("is_dup")).select(F.col("doc_id").alias("doc"))
+        (
+            bands.join(originals, on="doc", how="left_semi")
+            .write.mode("overwrite").parquet(f"{bands_root}/batch_id={batch_id}")
+        )
+        flagged.unpersist()
+        bands.unpersist()
+
+    writer = docs.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -111,3 +111,57 @@ def test_stateful_host_quota_across_batches(spark, tmp_path):
     assert per_host["b.vn"] == 2
     seqs = sorted(r["admitted_seq"] for r in out.filter(F.col("host") == "a.vn").collect())
     assert seqs == [1, 2, 3, 4, 5]
+
+
+def test_stream_neardup_incremental(spark, tmp_path):
+    """Incremental MinHash near-dup: a later batch's copy of an earlier doc
+    is flagged dup_of=<original>, within-batch dups flag against the
+    smaller id, and a checkpoint replay adds nothing."""
+    from pcrawler_spark.streaming.pipeline import run_neardup_stream
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    import glob
+    import os
+    import shutil
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again today"
+    t_b = "một văn bản tiếng việt hoàn toàn khác về chủ đề thời tiết hà nội"
+    t_c = "yet another completely different english document about spark engines"
+
+    def land(rows, name):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(stage)
+        os.makedirs(in_dir, exist_ok=True)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                    os.path.join(in_dir, name + ".parquet"))
+
+    # batch 1: two distinct originals + an in-batch duplicate of doc 1
+    land([(1, t_a), (2, t_b), (3, t_a)], "b1")
+
+    q = run_neardup_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    r1 = {r.doc_id: (r.is_dup, r.dup_of) for r in spark.read.parquet(out_dir).collect()}
+    assert r1[1] == (False, None) and r1[2] == (False, None)
+    assert r1[3] == (True, 1)
+
+    # batch 2 (new file): a copy of doc 1 and a fresh original
+    land([(10, t_a), (11, t_c)], "b2")
+    q2 = run_neardup_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    r2 = {r.doc_id: (r.is_dup, r.dup_of) for r in spark.read.parquet(out_dir).collect()}
+    assert r2[10] == (True, 1), r2
+    assert r2[11] == (False, None)
+
+    # band store holds only originals
+    bands = spark.read.parquet(out_dir + "/_bands")
+    assert set(r.doc for r in bands.select("doc").distinct().collect()) == {1, 2, 11}
+
+    # replay with same checkpoint: nothing new
+    n = spark.read.parquet(out_dir).count()
+    q3 = run_neardup_stream(spark, in_dir, out_dir, ckpt)
+    q3.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() == n
