@@ -165,3 +165,23 @@ def test_bucketed_pagestore_no_broadcast_no_pages_shuffle(spark, tmp_path):
     # correctness: bucketed join returns the matching rows
     assert joined.count() == n_expected
     spark.sql("DROP TABLE IF EXISTS bucketed_pages_test")
+
+
+def test_pq_adc_plan_all_broadcast(spark):
+    """q53's joins (codebook assigns + ADC table) must all be broadcast hash
+    joins — the encoded corpus never shuffles for the scan."""
+    plan = plan_of(entry_mod.q53_pq_adc_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_plan_no_cartesian(spark):
+    """q54: the only nested-loop join allowed is the broadcast centroid
+    probe (tiny side by construction); no cartesian, no sort-merge."""
+    plan = plan_of(entry_mod.q54_ivf_pq_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the broadcast centroid probe (formatted explain can print a reused
+    # subtree twice, so bound rather than pin)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
