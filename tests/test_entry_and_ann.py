@@ -200,3 +200,36 @@ def test_ivf_pq_prunes_to_probed_cells(spark):
         for r in res:
             if r.query_id == q:
                 assert labels[r.neighbor_id] in probed, (q, r.neighbor_id)
+
+
+def test_kmeans_maxmin_init_on_clustered_data(spark):
+    """Deterministic farthest-point init: on data whose smallest ids all sit
+    in ONE cluster (the minid-init worst case), maxmin seeding must find
+    the other clusters and beat minid's within-cluster cosine objective."""
+    from pcrawler_spark.operators.knn import assign_cells, cosine_similarity_col, kmeans_fit
+
+    import math
+    # 4 well-separated direction clusters in 8-dim; ids 0..24 ALL in cluster 0
+    rows = []
+    vid = 0
+    for c, base in enumerate([0, 2, 4, 6]):
+        for j in range(25):
+            v = [0.0] * 8
+            v[base] = 1.0
+            v[(base + 1) % 8] = 0.05 * ((j % 5) - 2)  # slight spread
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(init):
+        cents = kmeans_fit(df, n_cells=4, n_iter=2, init=init)
+        e = df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        a = assign_cells(e, cents)
+        j = a.join(cents, "cell").withColumn("cos", cosine_similarity_col("v", "centroid"))
+        return j.agg(F.avg("cos")).collect()[0][0]
+
+    o_minid = objective("minid")
+    o_maxmin = objective("maxmin")
+    assert o_maxmin > o_minid + 0.05, (o_minid, o_maxmin)
+    # and it is deterministic
+    assert objective("maxmin") == o_maxmin
