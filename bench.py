@@ -542,6 +542,13 @@ def main() -> None:
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in payload["queries"].items())
         )
+        # evidence measured outside this loop (CC scale run, pipeline
+        # throughput, judge re-checks) lives in BENCH_NOTES.md so this
+        # rewrite never loses it
+        notes = os.path.join(REPO, "BENCH_NOTES.md")
+        if os.path.exists(notes):
+            with open(notes) as nf:
+                f.write("\n" + nf.read())
 
     print(json.dumps(payload))
 
