@@ -1,0 +1,53 @@
+"""The composed LLM-training-data pipeline as one reusable plan — the q52
+driver query and the BENCH_NOTES 100k-doc throughput run both call this.
+
+Stage order (each an already-oracled operator, all groupBy/band-join shapes
+— no full-corpus windows, no cartesians):
+
+1. annotate: fingerprint + quality floor-ppm score + lang ID + token count
+   (operators/textstats.py — single projection pass, JVM-side);
+2. quality gate: ``quality_ppm >= quality_min``;
+3. exact dedup: keep the min doc_id per normalized-text fingerprint
+   (groupBy + left-semi — the partial-agg shape, not a window sort);
+4. near-dup canonical (optional): MinHash-LSH pairs → large-star/small-star
+   connected components → keep component roots (operators/simdedup.py +
+   operators/concomp.py).
+
+At 100 TB every stage partitions by its own key (fp, band key, component
+id) and the only iteration is CC's O(log²)-round loop; measured 3,000
+docs/s end-to-end on 100k docs at local[32] (BENCH_NOTES.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["training_pipeline"]
+
+
+def training_pipeline(docs: DataFrame, quality_min: int = 450000,
+                      near_dedup: bool = True, n_hashes: int = 8,
+                      band_rows: int = 2,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents(id, text, ...) → surviving annotated docs
+    (id, lang_pred, quality_ppm, n_tokens + original columns)."""
+    from pcrawler_spark.operators.concomp import connected_components
+    from pcrawler_spark.operators.simdedup import minhash_lsh_candidates
+    from pcrawler_spark.operators.textstats import (
+        fingerprint, lang_id, quality_score, token_count)
+
+    ann = token_count(lang_id(quality_score(fingerprint(docs, text_col), text_col),
+                              text_col), text_col)
+    passed = ann.filter(F.col("quality_ppm") >= quality_min)
+    keep = passed.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    kept = passed.join(keep, ["fp", id_col], "left_semi")
+    if not near_dedup:
+        return kept
+    pairs = minhash_lsh_candidates(
+        kept.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        n_hashes=n_hashes, band_rows=band_rows,
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    noncanon = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return kept.join(noncanon, id_col, "left_anti")

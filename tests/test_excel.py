@@ -138,3 +138,36 @@ def test_empty_sheet(tmp_path):
     write_xlsx(path, ["a", "b"], [])
     cols, rows = read_xlsx(path)
     assert cols == ["a", "b"] and rows == []
+
+
+def test_hypothesis_roundtrip(tmp_path):
+    """Property: any grid of typed cells survives write→read bit-exact
+    (strings incl. XML-special + unicode, ints, finite floats, bools,
+    None)."""
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs", "Cc"),  # no surrogates/control (XML 1.0)
+            ),
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(rows=st.lists(st.lists(cell, min_size=3, max_size=3), max_size=6))
+    def check(rows):
+        path = str(tmp_path / "h.xlsx")
+        cols = ["a", "b", "c"]
+        write_xlsx(path, cols, rows)
+        rcols, rrows = read_xlsx(path)
+        assert rcols == cols
+        assert rrows == rows
+
+    check()
