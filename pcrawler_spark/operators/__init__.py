@@ -2,6 +2,7 @@ from .dedup import dedup_exact, dedup_keep_first, dedup_keep_last
 from .seen import anti_join_seen, bloom_prefilter
 from .politeness import politeness_schedule, salted_repartition
 from .export import export_contacts
+from .concomp import canonical_docs, connected_components
 
 __all__ = [
     "dedup_exact",
@@ -12,4 +13,6 @@ __all__ = [
     "politeness_schedule",
     "salted_repartition",
     "export_contacts",
+    "connected_components",
+    "canonical_docs",
 ]
