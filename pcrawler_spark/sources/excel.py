@@ -75,7 +75,9 @@ def _cell_xml(ref: str, value: Any) -> str:
         if value != value or value in (float("inf"), float("-inf")):
             return ""  # Excel numeric cells cannot hold NaN/Inf → blank
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    text = escape(str(value))
+    # XML parsers normalize literal \r (and \r\n) to \n on read; the
+    # character reference survives, so CRs round-trip byte-exact
+    text = escape(str(value)).replace("\r", "&#xD;")
     return (
         f'<c r="{ref}" t="inlineStr">'
         f'<is><t xml:space="preserve">{text}</t></is></c>'

@@ -171,3 +171,11 @@ def test_hypothesis_roundtrip(tmp_path):
         assert rrows == rows
 
     check()
+
+
+def test_newlines_and_carriage_returns_roundtrip(tmp_path):
+    path = str(tmp_path / "nl.xlsx")
+    rows = [["line1\nline2"], ["a\r\nb"], ["tab\there"], ["cr\ronly"]]
+    write_xlsx(path, ["x"], rows)
+    _, rrows = read_xlsx(path)
+    assert rrows == rows
