@@ -45,9 +45,9 @@ FEATURE_SCHEMA = (
 FEATURE_DIM = 8
 
 
-def _decode_ppm(payload: bytes) -> Optional[list[float]]:
-    """REAL P6 PPM decode: header (magic, dims, maxval) + raw RGB raster.
-    Features: [w, h, mean_r, mean_g, mean_b, std_gray, maxval, 3]."""
+def _parse_ppm(payload: bytes):
+    """P6 header + raster parse → (w, h, maxval, uint8 ndarray[h,w,3]) or
+    None on malformed input.  Shared by decode and resize."""
     if not payload or not payload.startswith(b"P6"):
         return None
     # header tokens may be separated by any whitespace/comments
@@ -73,7 +73,17 @@ def _decode_ppm(payload: bytes) -> Optional[list[float]]:
     raster = payload[pos : pos + w * h * 3]
     if w <= 0 or h <= 0 or maxval <= 0 or len(raster) != w * h * 3:
         return None
-    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float32)
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_ppm(payload: bytes) -> Optional[list[float]]:
+    """REAL P6 PPM decode: header (magic, dims, maxval) + raw RGB raster.
+    Features: [w, h, mean_r, mean_g, mean_b, std_gray, maxval, 3]."""
+    parsed = _parse_ppm(payload)
+    if parsed is None:
+        return None
+    w, h, maxval, raw = parsed
+    px = raw.astype(np.float32)
     gray = px.mean(axis=2)
     return [float(w), float(h),
             float(px[:, :, 0].mean() / maxval), float(px[:, :, 1].mean() / maxval),
@@ -151,6 +161,64 @@ def decode_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "resize_ok boolean"
+)
+
+
+def _resize_ppm(payload: bytes, tw: int, th: int) -> Optional[bytes]:
+    """REAL nearest-neighbor resize of a P6 raster (pure numpy index
+    sampling — deterministic, no codec lib), re-encoded as P6."""
+    parsed = _parse_ppm(bytes(payload)) if payload is not None else None
+    if parsed is None:
+        return None
+    w, h, maxval, raw = parsed
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    out = raw[ys][:, xs]
+    return b"P6\n%d %d\n%d\n" % (tw, th, maxval) + out.tobytes()
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """media(binary payload) → resized payloads via ``mapInPandas``.  PPM
+    rasters are REALLY resized (nearest-neighbor); codec-bound formats
+    (jpeg/...) pass through unchanged with ``resize_ok=false`` — the decode
+    seam where PIL/ffmpeg slots in at production (same stub contract as
+    :func:`_fake_decode_features`)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, ok = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    resized = _resize_ppm(payload, width, height)
+                except Exception:
+                    resized = None
+                if resized is None:
+                    payloads.append(payload)
+                    ws.append(None)
+                    hs.append(None)
+                    ok.append(False)
+                else:
+                    payloads.append(resized)
+                    ws.append(width)
+                    hs.append(height)
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "resize_ok": ok,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -84,3 +84,46 @@ def test_decode_features_spark(spark):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert {r["media_id"] for r in frames} == {3}
     assert len(frames) == 3  # 0, 1000, 2000 ms
+
+
+def test_resize_ppm_exact():
+    """Nearest-neighbor resize: exact index-sampling semantics, header
+    re-encoded, malformed/codec-bound payloads decline with None."""
+    from pcrawler_spark.operators.multimodal import _parse_ppm, _resize_ppm, make_ppm
+
+    src = make_ppm(8, 6, seed=3)
+    out = _resize_ppm(src, 4, 3)
+    assert out is not None and out.startswith(b"P6\n4 3\n")
+    w, h, maxval, raw = _parse_ppm(out)
+    assert (w, h) == (4, 3)
+    sw, sh, _, sraw = _parse_ppm(src)
+    # exact nearest-neighbor positions: ys = i*6//3, xs = j*8//4
+    for i in range(3):
+        for j in range(4):
+            assert (raw[i, j] == sraw[i * 6 // 3, j * 8 // 4]).all()
+    # upscale works too (repeats pixels)
+    up = _resize_ppm(src, 16, 12)
+    uw, uh, _, uraw = _parse_ppm(up)
+    assert (uw, uh) == (16, 12)
+    assert (uraw[0, 0] == sraw[0, 0]).all() and (uraw[1, 1] == sraw[0, 0]).all()
+    # malformed: truncated raster
+    assert _resize_ppm(src[:-5], 4, 3) is None
+    assert _resize_ppm(b"\xff\xd8jpegdata", 4, 3) is None
+
+
+def test_resize_images_spark(spark):
+    from pcrawler_spark.operators.multimodal import make_ppm, resize_images
+
+    rows = [
+        (1, "image", bytearray(make_ppm(10, 10, seed=1))),
+        (2, "image", bytearray(b"\xff\xd8notppm")),
+        (3, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in resize_images(df, 5, 5).collect()}
+    assert out[1]["resize_ok"] and out[1]["width"] == 5 and out[1]["height"] == 5
+    assert bytes(out[1]["payload"]).startswith(b"P6\n5 5\n")
+    # codec-bound passes through unchanged, flagged
+    assert not out[2]["resize_ok"] and bytes(out[2]["payload"]) == b"\xff\xd8notppm"
+    assert out[2]["width"] is None
+    assert not out[3]["resize_ok"] and out[3]["payload"] is None
