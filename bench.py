@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q26_ngram_jaccard",
     "q27_minhash_lsh",
     "q29_knn_bruteforce",
+    "q51_dedup_clusters",   # pairs → connected components (iterative)
+    "q53_pq_adc_topk",      # PQ fit + encode + ADC scan
 ]
 
 
