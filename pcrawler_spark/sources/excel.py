@@ -160,15 +160,57 @@ def _parse_number(text: str) -> Any:
         return float(text)
 
 
-def read_xlsx(path: str) -> Tuple[List[str], List[List[Any]]]:
-    """Read the first worksheet of an .xlsx → (header columns, data rows).
+_NSR = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_NSPR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _sheet_part(z: zipfile.ZipFile, sheet: Optional[str]) -> str:
+    """Resolve a worksheet part path: by sheet NAME through workbook.xml +
+    its rels (the spec-correct route, order-independent), else the
+    workbook's first listed sheet; plain part-listing fallback for minimal
+    files without a workbook."""
+    names = z.namelist()
+    if "xl/workbook.xml" in names:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = [
+            (s.get("name"), s.get(f"{_NSR}id"))
+            for s in wb.iter(f"{_NS}sheet")
+        ]
+        rels = {}
+        if "xl/_rels/workbook.xml.rels" in names:
+            for r in ET.fromstring(z.read("xl/_rels/workbook.xml.rels")).iter(f"{_NSPR}Relationship"):
+                rels[r.get("Id")] = "xl/" + r.get("Target").lstrip("/")
+        if sheets:
+            if sheet is not None:
+                match = [rid for nm, rid in sheets if nm == sheet]
+                if not match:
+                    raise ValueError(
+                        f"sheet {sheet!r} not found; have {[nm for nm, _ in sheets]}")
+                rid = match[0]
+            else:
+                rid = sheets[0][1]
+            if rid in rels and rels[rid] in names:
+                return rels[rid]
+    parts = sorted(
+        n for n in names if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    )
+    if not parts:
+        raise ValueError("no worksheet parts found")
+    if sheet is not None:
+        raise ValueError(f"sheet {sheet!r} not found (no workbook part)")
+    return parts[0]
+
+
+def read_xlsx(path: str, sheet: Optional[str] = None) -> Tuple[List[str], List[List[Any]]]:
+    """Read a worksheet of an .xlsx → (header columns, data rows).
 
     Source analogue of ``pd.read_excel(input_file)``
     (e164_phone_normalizer.py:593): first row is the header, every data row
     is padded/aligned to the header width (sparse cells resolve through
     their ``r="C7"`` references).  Handles inline strings, sharedStrings
     (openpyxl/pandas output), booleans, formula-cached strings and numbers
-    (int when integral, else float).
+    (int when integral, else float).  ``sheet`` selects a worksheet by its
+    workbook name (default: the workbook's first sheet).
     """
     with zipfile.ZipFile(path) as z:
         names = z.namelist()
@@ -176,13 +218,7 @@ def read_xlsx(path: str) -> Tuple[List[str], List[List[Any]]]:
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             shared = [_cell_text(si) for si in root.iter(f"{_NS}si")]
-        sheet_names = sorted(
-            n for n in names
-            if n.startswith("xl/worksheets/") and n.endswith(".xml")
-        )
-        if not sheet_names:
-            raise ValueError(f"{path}: no worksheet parts found")
-        root = ET.fromstring(z.read(sheet_names[0]))
+        root = ET.fromstring(z.read(_sheet_part(z, sheet)))
 
     raw_rows: List[List[Any]] = []
     for row in root.iter(f"{_NS}row"):

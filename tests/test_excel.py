@@ -179,3 +179,42 @@ def test_newlines_and_carriage_returns_roundtrip(tmp_path):
     write_xlsx(path, ["x"], rows)
     _, rrows = read_xlsx(path)
     assert rrows == rows
+
+
+def test_sheet_selection_by_name(tmp_path):
+    """Multi-sheet third-party file: sheets resolve through workbook.xml +
+    rels by NAME (part filenames deliberately misleading — sheet10 would
+    sort before sheet2 lexically)."""
+    path = str(tmp_path / "multi.xlsx")
+    def sheet_xml(vals):
+        rows = "".join(
+            f'<row r="{i+1}"><c r="A{i+1}" t="inlineStr"><is><t>{v}</t></is></c></row>'
+            for i, v in enumerate(vals)
+        )
+        return ('<?xml version="1.0"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{rows}</sheetData></worksheet>")
+    wb = ('<?xml version="1.0"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/>'
+          '<sheet name="Notes" sheetId="2" r:id="rId2"/></sheets></workbook>')
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet10.xml"/>'
+            '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+            '</Relationships>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet10.xml", sheet_xml(["h", "data-row"]))
+        z.writestr("xl/worksheets/sheet2.xml", sheet_xml(["h", "notes-row"]))
+    # default = workbook's FIRST sheet (Data → sheet10.xml), not lexical order
+    assert read_xlsx(path)[1] == [["data-row"]]
+    assert read_xlsx(path, sheet="Data")[1] == [["data-row"]]
+    assert read_xlsx(path, sheet="Notes")[1] == [["notes-row"]]
+    try:
+        read_xlsx(path, sheet="Nope")
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "Nope" in str(e)
