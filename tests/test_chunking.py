@@ -1,0 +1,57 @@
+"""Token chunking + sequence packing (operators/chunking.py)."""
+
+from pyspark.sql import functions as F
+
+from pcrawler_spark.operators.chunking import pack_sequences, token_chunks
+
+
+def test_token_chunks_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens, k=4 → 4+4+2
+         (2, "one"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in token_chunks(docs, chunk_size=4).collect()
+    )
+    assert out == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t8 t9", 2),
+        (2, 0, "one", 1),
+        (3, 0, "", 1),  # SQL string_split('') → [''] — one empty token
+    ]
+    # reassembling the chunks reproduces the document
+    joined = (
+        token_chunks(docs, chunk_size=4)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list(
+            F.struct("chunk_id", "chunk_text"))).getField("chunk_text"), " ").alias("t"))
+    )
+    back = {r["doc_id"]: r["t"] for r in joined.collect()}
+    assert back[1] == " ".join(f"t{i}" for i in range(10))
+
+
+def test_pack_sequences_bins(spark):
+    # single shard (n_shards=1): deterministic running-total bins
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 100, 100, 400, 50, 600, 10])],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bin"] for r in pack_sequences(docs, budget=256, n_shards=1).collect()}
+    # running totals before each doc: 0,100,200,300,700,750,1350
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 5}
+
+
+def test_pack_sequences_sharding(spark):
+    docs = spark.createDataFrame(
+        [(i, "w w w") for i in range(16)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=6, n_shards=4).collect()
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    # within a shard: 3 tokens each, budget 6 → two docs per bin
+    for shard in range(4):
+        bins = [r["bin"] for r in sorted(out, key=lambda r: r["doc_id"]) if r["shard"] == shard]
+        assert bins == [0, 0, 1, 1]
