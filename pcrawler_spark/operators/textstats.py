@@ -174,3 +174,72 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
         )
         .distinct()
     )
+
+
+def token_logfreq_score(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Corpus-frequency quality score — the public analogue of a KenLM
+    perplexity filter (C4/Gopher-style): rare-token-heavy garbage scores
+    low.  Two passes over the token explode: (1) corpus document-frequency
+    per token, (2) per-doc mean log10(df/total_tokens).
+
+    Portability: each token's log is floored to integer ppm FIRST, the
+    per-doc aggregate is an exact integer SUM (order-free across any
+    shuffle), and the mean divides integers with floor — bit-identical in
+    any engine, unlike avg-of-doubles whose summation order varies.
+
+    Returns (id, n_tokens, logfreq_ppm) — higher (closer to 0) = more
+    common vocabulary."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()  # one bounded action: the corpus token count
+    per_tok = toks.join(tf, "tok").select(
+        "_id",
+        F.floor(F.lit(1_000_000.0) * F.log10(F.col("tf") / F.lit(float(total))))
+        .cast("long").alias("lp_ppm"),
+    )
+    return (
+        per_tok.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp_ppm").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.col("_s") / F.col("n_tokens")).cast("long").alias("logfreq_ppm"),
+        )
+    )
+
+
+def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Duplicate n-gram ratio — the Gopher repetition filter: machine-
+    generated/boilerplate text repeats shingles.  ratio_ppm =
+    floor(1e6 × (1 − distinct/total)) over word n-grams; pure integer
+    counts, so it is exactly engine-portable.  Returns
+    (id, n_shingles, dup_ratio_ppm)."""
+    # NOT _shingles(): that one array_distincts for the dedup joins — the
+    # repetition ratio needs RAW shingle counts
+    words = F.split(F.trim(F.col(text_col)), " ")
+    raw = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ).alias("s"),
+    )
+    agg = raw.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("s").alias("n_distinct"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("n_shingles") - F.col("n_distinct")) / F.col("n_shingles")
+        ).cast("long").alias("dup_ratio_ppm"),
+    )

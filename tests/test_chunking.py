@@ -55,3 +55,29 @@ def test_pack_sequences_sharding(spark):
     for shard in range(4):
         bins = [r["bin"] for r in sorted(out, key=lambda r: r["doc_id"]) if r["shard"] == shard]
         assert bins == [0, 0, 1, 1]
+
+
+def test_logfreq_and_repetition_semantics(spark):
+    from pcrawler_spark.operators.textstats import repetition_ratio, token_logfreq_score
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"),           # one token 4×: df high, repetition max
+         (2, "alpha beta gamma delta"),     # all unique: rare tokens, no repetition
+         (3, "the beta the beta the beta")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in repetition_ratio(docs, n=3).collect()}
+    # doc1: shingles 'the the the' ×2 → 2 raw, 1 distinct → 500000 ppm
+    assert rep[1]["n_shingles"] == 2 and rep[1]["dup_ratio_ppm"] == 500000
+    # doc2: 2 raw shingles, both distinct → 0
+    assert rep[2]["dup_ratio_ppm"] == 0
+    # doc3: 4 raw shingles, 2 distinct → 500000
+    assert rep[3]["n_shingles"] == 4 and rep[3]["dup_ratio_ppm"] == 500000
+
+    lf = {r["doc_id"]: r for r in token_logfreq_score(docs).collect()}
+    # 'the' appears 7/14 tokens; unique tokens 1/14 — doc1 must outscore doc2
+    assert lf[1]["logfreq_ppm"] > lf[2]["logfreq_ppm"]
+    assert lf[1]["n_tokens"] == 4 and lf[2]["n_tokens"] == 4
+    import math
+    expected_doc1 = math.floor(1_000_000 * math.log10(7 / 14))
+    assert lf[1]["logfreq_ppm"] == expected_doc1
