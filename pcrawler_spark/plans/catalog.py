@@ -166,10 +166,16 @@ class EpochCatalog:
                     removed += 1
         return removed
 
-    def _replaced_epochs(self, table: str) -> set[int]:
-        """Epochs superseded by a later compaction of ``table``."""
+    def _replaced_epochs(self, table: str,
+                         as_of: Optional[int] = None) -> set[int]:
+        """Epochs superseded by a compaction of ``table``.  ``as_of`` limits
+        the view to compactions committed at or before that epoch — the
+        time-travel rule: a compaction that happened AFTER the requested
+        snapshot must not hide the snapshot's own epochs."""
         out: set[int] = set()
         for e in self.committed_epochs():
+            if as_of is not None and e > as_of:
+                continue
             m = self.manifest(e)
             out.update(m.get("replaces", {}).get(table, []))
         return out
@@ -191,24 +197,67 @@ class EpochCatalog:
     # ---- read paths ------------------------------------------------------
 
     def read(self, table: str, upto_epoch: Optional[int] = None) -> Optional[DataFrame]:
-        """All committed rows of a table (union of committed epochs).
+        """All committed rows of a table (union of committed epochs); with
+        ``upto_epoch`` this is an Iceberg-style time-travel read of the
+        snapshot as of that epoch.
+
+        Compaction interplay: a compaction committed at or before the
+        snapshot hides the epochs it replaced (their rows live in the
+        compacted dir); a compaction committed AFTER the snapshot does not —
+        but its lazy GC may already have deleted the replaced dirs, in which
+        case the snapshot is unreconstructable and this raises instead of
+        silently returning partial data (Iceberg's expire-snapshots rule).
 
         Uses basePath-style partition discovery so ``epoch`` appears as a
         column and partition pruning applies when callers filter on it."""
-        committed = set(self.committed_epochs()) - self._replaced_epochs(table)
+        committed = set(self.committed_epochs()) - self._replaced_epochs(table, upto_epoch)
         if upto_epoch is not None:
             committed = {e for e in committed if e <= upto_epoch}
+        # only epochs whose manifest actually wrote this table owe us a dir
+        # (sparse tables — breaker, emails — skip epochs by design)
+        committed = {e for e in committed if table in self.manifest(e)["tables"]}
         tdir = os.path.join(self.root, table)
         if not os.path.isdir(tdir):
             return None
-        dirs = [
-            os.path.join(tdir, d)
-            for d in sorted(os.listdir(tdir))
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) in committed
-        ]
+        have = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir) if d.startswith("epoch=")
+        }
+        missing = committed - have
+        if missing:
+            raise ValueError(
+                f"snapshot of {table!r} as of epoch {upto_epoch} is gone: "
+                f"epochs {sorted(missing)} were compacted away (expired)")
+        dirs = [os.path.join(tdir, f"epoch={e}") for e in sorted(committed)]
         if not dirs:
             return None
         return self.spark.read.option("basePath", tdir).parquet(*dirs)
+
+    def metrics_df(self) -> Optional[DataFrame]:
+        """Per-epoch lineage + metrics as a queryable DataFrame — the
+        manifest metadata (fetched/extracted/records_out counters, phase,
+        compaction flag) surfaced the way an Iceberg snapshots table is.
+        One tiny JSON per epoch, read driver-side (bounded by epoch count).
+
+        Columns: epoch long, committed_at_unix double, compaction boolean,
+        metrics map<string,string>."""
+        rows = []
+        for e in self.committed_epochs():
+            m = self.manifest(e)
+            md = m.get("metadata", {}) or {}
+            rows.append((
+                e,
+                float(m.get("committed_at_unix", 0.0)),
+                bool(md.get("compaction", False)),
+                {k: str(v) for k, v in md.items()},
+            ))
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows,
+            "epoch long, committed_at_unix double, compaction boolean, "
+            "metrics map<string,string>",
+        )
 
     def exists(self, table: str) -> bool:
         return self.read(table) is not None

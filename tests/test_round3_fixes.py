@@ -333,3 +333,50 @@ def test_zipf_mega_host_skew_defusal(spark):
     k = 8
     g = df.groupBy("host", F.pmod(F.xxhash64("url_hash"), F.lit(k)).alias("s")).count()
     assert max(r["count"] for r in g.collect()) <= int(n_mega / k * 1.3)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-parity: time-travel reads + the snapshots/metrics table
+# ---------------------------------------------------------------------------
+
+def test_time_travel_read_and_expiry(spark, tmp_path):
+    from pcrawler_spark.plans.catalog import EpochCatalog
+
+    cat = EpochCatalog(spark, str(tmp_path / "cat"))
+    for e, vals in enumerate([[1, 2], [3], [4, 5]]):
+        cat.write_epoch(e, {"t": spark.createDataFrame([(v,) for v in vals], "v int")},
+                        metadata={"n": len(vals)})
+    # snapshot as of epoch 1: epochs 0+1 only
+    assert sorted(r["v"] for r in cat.read("t", upto_epoch=1).collect()) == [1, 2, 3]
+    ce = cat.compact()
+    assert ce == 3
+    # post-compaction full read unchanged
+    assert sorted(r["v"] for r in cat.read("t").collect()) == [1, 2, 3, 4, 5]
+    # snapshot AT the compaction epoch: the compacted dir covers everything
+    assert sorted(r["v"] for r in cat.read("t", upto_epoch=3).collect()) == [1, 2, 3, 4, 5]
+    # snapshot BEFORE the compaction: its epochs were GC'd → loud error,
+    # never a silent partial read
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compacted away"):
+        cat.read("t", upto_epoch=1)
+
+
+def test_metrics_lineage_table(spark, tmp_path):
+    from pcrawler_spark.plans.catalog import EpochCatalog
+    from pyspark.sql import functions as F
+
+    cat = EpochCatalog(spark, str(tmp_path / "cat2"))
+    cat.write_epoch(0, {"t": spark.createDataFrame([(1,)], "v int")},
+                    metadata={"phase": "bootstrap"})
+    cat.write_epoch(1, {"t": spark.createDataFrame([(2,)], "v int")},
+                    metadata={"fetched": 7, "records_out": 3})
+    cat.compact()
+    m = cat.metrics_df()
+    rows = {r["epoch"]: r for r in m.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1]["metrics"]["fetched"] == "7"
+    assert rows[2]["compaction"] is True and rows[0]["compaction"] is False
+    # queryable like any table
+    got = (m.filter(~F.col("compaction"))
+           .select(F.element_at("metrics", "records_out").alias("r")).collect())
+    assert {x["r"] for x in got} == {None, "3"}
