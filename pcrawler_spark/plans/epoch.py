@@ -544,6 +544,11 @@ class CrawlEngine:
     def checkpoints(self) -> DataFrame | None:
         return self.catalog.read("checkpoints")
 
+    def metrics(self) -> DataFrame | None:
+        """Per-epoch lineage + fetch/extract metrics (the snapshots-table
+        view of the manifest metadata — catalog.metrics_df)."""
+        return self.catalog.metrics_df()
+
     def export(self) -> DataFrame:
         """Phase-6 export join over the engine's own outputs."""
         records = self.records()

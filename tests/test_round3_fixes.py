@@ -380,3 +380,32 @@ def test_metrics_lineage_table(spark, tmp_path):
     got = (m.filter(~F.col("compaction"))
            .select(F.element_at("metrics", "records_out").alias("r")).collect())
     assert {x["r"] for x in got} == {None, "3"}
+
+
+def test_engine_metrics_accessor(spark, tmp_path):
+    """engine.metrics() exposes the per-epoch counters the run() loop
+    committed — the queryable lineage the north rule asks for."""
+    from pcrawler_spark.plans import CrawlEngine, CrawlRunConfig
+    from pcrawler_spark.sources.synthetic import (
+        SyntheticCrawlConfig, generate_crawl_corpus, _hosts_rows)
+    import pandas as pd
+
+    cfg = SyntheticCrawlConfig(n_companies=12, n_industries=2, n_hosts=3)
+    corpus = generate_crawl_corpus(cfg)
+    pages = spark.createDataFrame(
+        corpus["pages"],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    hosts = spark.createDataFrame(
+        pd.DataFrame(_hosts_rows(cfg)),
+        "host string, crawl_delay_s double, robots_disallow array<string>, max_parallel int")
+    eng = CrawlEngine(spark, pages, hosts,
+                      CrawlRunConfig(state_dir=str(tmp_path / "st"), max_epochs=3))
+    run_metrics = eng.run(spark.createDataFrame(corpus["seeds"],
+                          "url string, priority int, industry string"))
+    m = eng.metrics()
+    rows = {r["epoch"]: r for r in m.collect()}
+    worked = [r for r in rows.values() if not r["compaction"]
+              and r["metrics"].get("phase") != "bootstrap"]
+    assert len(worked) == len(run_metrics)
+    total_fetched = sum(int(r["metrics"]["fetched"]) for r in worked)
+    assert total_fetched == sum(x["fetched"] for x in run_metrics)
