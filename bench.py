@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "q27_minhash_lsh",
     "q29_knn_bruteforce",
     "q51_dedup_clusters",   # pairs → connected components (iterative)
-    "q53_pq_adc_topk",      # PQ fit + encode + ADC scan
+    "q53_pq_rerank_topk",   # PQ fit + encode + ADC scan + exact re-rank
 ]
 
 

@@ -196,28 +196,34 @@ def _maxmin_init(e: DataFrame, n_cells: int, round_dp: int = 6) -> list:
     """Deterministic farthest-point ('maxmin', the k-means++ shape without
     RNG) seeding: start at the min id, then repeatedly add the vector with
     the LOWEST max-cosine to the chosen set (rounded, min-id tiebreak).
-    n_cells-1 bounded driver actions over a (1-row) agg each — the seeds
-    spread across the data instead of clustering around the smallest ids.
-    Returns the seed rows in pick order."""
+
+    Incremental: the running max-cosine-to-chosen-set is a COLUMN updated
+    against only the NEWEST seed each round (greatest(old, cos(new)) —
+    equal to the max over all seeds since round() is applied per seed), and
+    the pick is ONE single-pass struct-min aggregation per round — no sort,
+    no per-seed rescan of the full chosen set, and the plan no longer grows
+    O(seeds) per round (lineage truncated every few picks).  n_cells-1
+    bounded 1-row driver actions total.  Returns seed rows in pick order."""
     first = e.orderBy("id").limit(1).collect()[0]
     seeds = [first]
-    for _ in range(n_cells - 1):
-        chosen = F.array(*[
-            F.array(*[F.lit(float(x)) for x in s["v"]]) for s in seeds
-        ])
-        far = (
-            e.withColumn(
-                "_maxcos",
-                F.array_max(F.transform(
-                    chosen, lambda c: F.round(cosine_similarity_col(F.col("v"), c), round_dp)
-                )),
-            )
-            .orderBy(F.col("_maxcos").asc(), F.col("id").asc())
-            .select("id", "v")
-            .limit(1)
-            .collect()[0]
+    state = e.withColumn("_maxcos", F.lit(-1.0))
+    for i in range(n_cells - 1):
+        newest = F.array(*[F.lit(float(x)) for x in seeds[-1]["v"]])
+        state = state.withColumn(
+            "_maxcos",
+            F.greatest(
+                F.col("_maxcos"),
+                F.round(cosine_similarity_col(F.col("v"), newest), round_dp),
+            ),
         )
-        seeds.append(far)
+        if (i + 1) % 4 == 0:
+            state = state.localCheckpoint(eager=False)
+        # struct min orders (_maxcos asc, id asc) — id is unique, so the
+        # array field never participates in the comparison
+        far = state.select(
+            F.min(F.struct("_maxcos", "id", "v")).alias("m")
+        ).collect()[0]["m"]
+        seeds.append({"id": far["id"], "v": far["v"]})
     return seeds
 
 
@@ -526,6 +532,49 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist_ppm")
+    )
+
+
+def pq_rerank_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+                   rerank: int = 50, m_sub: int = 4, n_codes: int = 8,
+                   n_iter: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN with the standard exact re-rank stage (Jégou et al. TPAMI'11
+    §V.A: "re-ranking with source coding"): the ADC scan selects a top-
+    ``rerank`` candidate set per query through the compressed codes alone,
+    then exact cosine on FULL vectors ranks the final top-k — recall
+    recovers to ~brute-force while the full-vector scan touches only
+    rerank/|corpus| of the data.
+
+    Scale shape: stage 1 is :func:`pq_topk`'s map-side ADC (corpus touched
+    only via (id, sub, code)); stage 2 joins the rerank×|queries| candidate
+    ids (tiny) back to the corpus — a shuffle-hash join keyed on id whose
+    probe side is the candidate list, never a rescan; queries broadcast.
+
+    Returns (query_id, neighbor_id, rank, cos)."""
+    cand = pq_topk(corpus, queries, dim, k=rerank, m_sub=m_sub,
+                   n_codes=n_codes, n_iter=n_iter, id_col=id_col,
+                   vec_col=vec_col).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # the candidate list is |queries| × rerank rows — tiny vs the corpus, so
+    # broadcast it: the full-vector side is probed in place, never shuffled
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine_similarity_col("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 

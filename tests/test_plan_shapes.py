@@ -168,9 +168,10 @@ def test_bucketed_pagestore_no_broadcast_no_pages_shuffle(spark, tmp_path):
 
 
 def test_pq_adc_plan_all_broadcast(spark):
-    """q53's joins (codebook assigns + ADC table) must all be broadcast hash
-    joins — the encoded corpus never shuffles for the scan."""
-    plan = plan_of(entry_mod.q53_pq_adc_topk(spark, SF_DIR))
+    """q53's joins (codebook assigns + ADC table + re-rank candidate probe)
+    must all be broadcast hash joins — neither the encoded corpus (ADC
+    scan) nor the full-vector corpus (re-rank) ever shuffles."""
+    plan = plan_of(entry_mod.q53_pq_rerank_topk(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
