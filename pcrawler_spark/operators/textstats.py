@@ -180,8 +180,9 @@ def token_logfreq_score(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Corpus-frequency quality score — the public analogue of a KenLM
     perplexity filter (C4/Gopher-style): rare-token-heavy garbage scores
-    low.  Two passes over the token explode: (1) corpus document-frequency
-    per token, (2) per-doc mean log10(df/total_tokens).
+    low.  Two passes over the token explode: (1) corpus TERM frequency per
+    token (total occurrences, not distinct documents — the q57 oracle
+    counts the same way), (2) per-doc mean log10(tf/total_tokens).
 
     Portability: each token's log is floored to integer ppm FIRST, the
     per-doc aggregate is an exact integer SUM (order-free across any

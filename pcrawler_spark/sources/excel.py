@@ -105,7 +105,9 @@ def write_xlsx(path: str, columns: Sequence[str], rows: Sequence[Sequence[Any]],
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         f"<sheetData>{''.join(body)}</sheetData></worksheet>"
     )
-    safe_name = escape(sheet_name)
+    # escape() alone leaves double quotes intact, which corrupts the
+    # name="..." attribute — quote them too (ADVICE r3)
+    safe_name = escape(sheet_name, {'"': "&quot;"})
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
@@ -164,6 +166,25 @@ _NSR = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _NSPR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
+def _resolve_rel_target(target: str) -> str:
+    """Workbook-rels Target → zip part path.  A spec-legal absolute target
+    ('/xl/worksheets/sheet1.xml') is already package-rooted — stripping the
+    slash IS the part path; only relative targets resolve against xl/
+    (with '..' segments collapsed).  The r3 version prefixed 'xl/'
+    unconditionally, so absolute targets became 'xl/xl/...' and silently
+    fell through to the alphabetically-first worksheet part (ADVICE r3)."""
+    if target.startswith("/"):
+        return target.lstrip("/")
+    out: List[str] = ["xl"]
+    for seg in target.split("/"):
+        if seg == "..":
+            if out:
+                out.pop()
+        elif seg not in ("", "."):
+            out.append(seg)
+    return "/".join(out)
+
+
 def _sheet_part(z: zipfile.ZipFile, sheet: Optional[str]) -> str:
     """Resolve a worksheet part path: by sheet NAME through workbook.xml +
     its rels (the spec-correct route, order-independent), else the
@@ -179,7 +200,7 @@ def _sheet_part(z: zipfile.ZipFile, sheet: Optional[str]) -> str:
         rels = {}
         if "xl/_rels/workbook.xml.rels" in names:
             for r in ET.fromstring(z.read("xl/_rels/workbook.xml.rels")).iter(f"{_NSPR}Relationship"):
-                rels[r.get("Id")] = "xl/" + r.get("Target").lstrip("/")
+                rels[r.get("Id")] = _resolve_rel_target(r.get("Target"))
         if sheets:
             if sheet is not None:
                 match = [rid for nm, rid in sheets if nm == sheet]
@@ -201,8 +222,10 @@ def _sheet_part(z: zipfile.ZipFile, sheet: Optional[str]) -> str:
     return parts[0]
 
 
-def read_xlsx(path: str, sheet: Optional[str] = None) -> Tuple[List[str], List[List[Any]]]:
+def read_xlsx(path, sheet: Optional[str] = None) -> Tuple[List[str], List[List[Any]]]:
     """Read a worksheet of an .xlsx → (header columns, data rows).
+    ``path`` is a filesystem path or a binary file-like object (the
+    distributed ingest hands executors BytesIO over binaryFile content).
 
     Source analogue of ``pd.read_excel(input_file)``
     (e164_phone_normalizer.py:593): first row is the header, every data row
@@ -279,6 +302,50 @@ def xlsx_to_dataframe(spark, path: str, schema=None):
         if pdf[col].isna().all():
             pdf[col] = pdf[col].astype("string")
     return spark.createDataFrame(pdf)
+
+
+def xlsx_dir_to_dataframe(spark, path: str, schema, sheet: Optional[str] = None):
+    """Distributed many-file .xlsx ingest: ``binaryFile`` source +
+    ``mapInPandas`` parse — every workbook opens and parses ON AN EXECUTOR
+    (zipfile over the in-memory bytes), so a directory of thousands of
+    workbooks scales with the cluster instead of the driver
+    (:func:`xlsx_to_dataframe` stays the single-file ops-tool path).
+
+    ``schema`` is required (DDL string or StructType): executors cannot do
+    global type inference, and a fixed schema is what makes the output
+    stable regardless of per-file column order — parsed columns are
+    matched to schema fields BY NAME, missing fields fill null, extra
+    parsed columns are dropped."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise TypeError("schema must be a DDL string or StructType")
+    field_names = [f.name for f in schema.fields]
+
+    def parse(batches):
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                cols, rows = read_xlsx(io.BytesIO(bytes(content)), sheet=sheet)
+                by_name = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+                n = len(rows)
+                yield pd.DataFrame(
+                    {f: pd.Series(by_name.get(f, [None] * n), dtype=object)
+                     for f in field_names}
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xlsx")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse, schema=schema)
+    )
 
 
 def dataframe_to_xlsx(df, path: str, sheet_name: str = "Sheet1") -> None:

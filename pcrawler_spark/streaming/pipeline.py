@@ -131,26 +131,46 @@ def run_extract_to_parquet(spark: SparkSession, input_dir: str, output_dir: str,
     The ``_seen`` dir's underscore prefix makes it invisible to parquet
     readers of ``output_dir`` (Hadoop hides ``_``-prefixed paths), so
     consumers see only the wide batch partitions.
+
+    Upgrade path (ADVICE r3): an ``output_dir`` written before the
+    ``_seen`` side table existed has committed ``batch_id=*`` partitions
+    but no ``_seen`` dir — restarting dedup from empty would re-emit every
+    pre-upgrade url_hash.  On the first PATH_NOT_FOUND the committed
+    output is backfilled ONCE into ``_seen`` (url_hash projected per batch
+    partition), then every later batch reads only the slim table.
     """
     from pyspark.errors import AnalysisException
 
     out = extract_stream(read_pages_stream(spark, input_dir))
     seen_root = f"{output_dir}/_seen"
 
+    def backfill_seen(sp: SparkSession):
+        try:
+            committed = sp.read.option("basePath", output_dir).parquet(output_dir)
+        except AnalysisException as e:
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise
+            return None  # genuinely fresh stream — nothing committed yet
+        (
+            committed.select("url_hash", "batch_id")
+            .write.partitionBy("batch_id").mode("overwrite").parquet(seen_root)
+        )
+        return sp.read.option("basePath", seen_root).parquet(seen_root)
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates(["url_hash"])
         try:
-            prior = (
-                sp.read.option("basePath", seen_root).parquet(seen_root)
-                # a replayed batch must not anti-join against its own rows
-                .filter(F.col("batch_id") != batch_id)
-                .select("url_hash")
-            )
+            seen = sp.read.option("basePath", seen_root).parquet(seen_root)
         except AnalysisException as e:
             if e.getCondition() != "PATH_NOT_FOUND":
                 raise  # genuine storage/schema error → let the batch retry
-            prior = None  # nothing committed yet
+            seen = backfill_seen(sp)  # pre-upgrade output → one-time backfill
+        prior = (
+            # a replayed batch must not anti-join against its own rows
+            seen.filter(F.col("batch_id") != batch_id).select("url_hash")
+            if seen is not None else None
+        )
         if prior is not None:
             batch_df = batch_df.join(prior, on="url_hash", how="left_anti")
         batch_df.persist()

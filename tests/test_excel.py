@@ -218,3 +218,72 @@ def test_sheet_selection_by_name(tmp_path):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "Nope" in str(e)
+
+
+def test_absolute_rel_targets_resolve(tmp_path):
+    """A spec-legal ABSOLUTE rels Target ('/xl/worksheets/...') must resolve
+    to the right part — the r3 reader prefixed 'xl/' unconditionally and
+    silently fell back to the lexically-first worksheet (ADVICE r3); '..'
+    segments in relative targets must collapse too."""
+    path = str(tmp_path / "abs.xlsx")
+
+    def sheet_xml(v):
+        return ('<?xml version="1.0"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f'<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+                f'<row r="2"><c r="A2" t="inlineStr"><is><t>{v}</t></is></c></row>'
+                "</sheetData></worksheet>")
+
+    wb = ('<?xml version="1.0"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="Abs" sheetId="1" r:id="rId1"/>'
+          '<sheet name="Dots" sheetId="2" r:id="rId2"/></sheets></workbook>')
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="/xl/worksheets/sheet2.xml"/>'
+            '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="../xl/worksheets/sheet1.xml"/>'
+            '</Relationships>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        # lexically sheet1 < sheet2: the old bug would pick sheet1 for "Abs"
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml("dots-row"))
+        z.writestr("xl/worksheets/sheet2.xml", sheet_xml("abs-row"))
+    assert read_xlsx(path, sheet="Abs")[1] == [["abs-row"]]
+    assert read_xlsx(path, sheet="Dots")[1] == [["dots-row"]]
+
+
+def test_quote_in_sheet_name_roundtrip(tmp_path):
+    """A double quote in the sheet name must not corrupt workbook.xml
+    (escape() leaves '\"' intact — ADVICE r3)."""
+    path = str(tmp_path / "q.xlsx")
+    name = 'He said "hi" & left'
+    write_xlsx(path, ["a"], [[1]], sheet_name=name)
+    assert read_xlsx(path, sheet=name)[1] == [[1]]
+
+
+def test_xlsx_dir_distributed_read(spark, tmp_path):  # noqa: F811
+    """Many-file ingest: binaryFile + mapInPandas parse on executors must
+    return exactly the union of the driver-side per-file reads — including
+    a file with reordered/extra/missing columns (schema aligns by name)."""
+    from pcrawler_spark.sources.excel import xlsx_dir_to_dataframe
+
+    d = tmp_path / "books"
+    d.mkdir()
+    write_xlsx(str(d / "a.xlsx"), ["name", "n"], [["a1", 1], ["a2", 2]])
+    write_xlsx(str(d / "b.xlsx"), ["name", "n"], [["b1", 3]])
+    # reordered + extra column; 'n' absent → null
+    write_xlsx(str(d / "c.xlsx"), ["extra", "name"], [["x", "c1"]])
+    (d / "ignore.txt").write_text("not a workbook")
+
+    out = xlsx_dir_to_dataframe(spark, str(d), "name string, n long")
+    rows = {(r["name"], r["n"]) for r in out.collect()}
+    assert rows == {("a1", 1), ("a2", 2), ("b1", 3), ("c1", None)}
+
+    # identical to the driver-side path where schemas agree
+    drv = set()
+    for f in ("a.xlsx", "b.xlsx"):
+        for r in xlsx_to_dataframe(spark, str(d / f)).collect():
+            drv.add((r["name"], r["n"]))
+    assert drv <= rows

@@ -165,3 +165,35 @@ def test_stream_neardup_incremental(spark, tmp_path):
     q3 = run_neardup_stream(spark, in_dir, out_dir, ckpt)
     q3.awaitTermination(60)
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_seen_backfill_after_upgrade(spark, tmp_path):
+    """An output_dir written before the _seen side table existed (committed
+    batch partitions, no _seen dir) must not re-emit its url_hashes when a
+    later batch replays them: the first PATH_NOT_FOUND triggers a one-time
+    backfill of _seen from the committed output (ADVICE r3)."""
+    import shutil
+
+    corpus = generate_crawl_corpus(CFG)
+    df = spark.createDataFrame(corpus["pages"], PAGES_SCHEMA)
+    d1 = df.filter(F.col("url").contains("-tong-quan"))
+    d2 = df.filter(~F.col("url").contains("-tong-quan"))
+    inp, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    d1.write.parquet(inp)
+    q = run_extract_to_parquet(spark, inp, out_dir, ckpt)
+    q.awaitTermination(120)
+    n0 = spark.read.parquet(out_dir).count()
+    assert n0 > 0
+    # simulate the pre-upgrade layout: committed output, no _seen
+    shutil.rmtree(out_dir + "/_seen")
+    # the next batch REPLAYS d1's urls (new files, same pages) plus d2's new ones
+    d1.unionByName(d2).write.mode("append").parquet(inp)
+    q2 = run_extract_to_parquet(spark, inp, out_dir, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out_dir)
+    # backfill held the dedup line: every url_hash lives in exactly one batch
+    assert final.groupBy("url_hash").count().filter("count > 1").count() == 0
+    expected = (
+        extract_stream(spark.read.parquet(inp)).dropDuplicates(["url_hash"]).count()
+    )
+    assert final.count() == expected
