@@ -72,6 +72,26 @@ INTL_NSN_RULES = {
     "82": re.compile(r"[1-9]\d{7,9}"),                   # KR
     "86": re.compile(r"1[3-9]\d{9}|[2-9]\d{8,10}"),      # CN mobile/landline
     "91": re.compile(r"[6-9]\d{9}"),                     # IN: 10 digits
+    # r4 extension — 18 more common calling codes, patterns simplified from
+    # libphonenumber's published generalDesc/fixedLine/mobile metadata
+    "7": re.compile(r"[34689]\d{9}|7\d{9}"),             # RU (3/4/8/9) + KZ (6/7): 10 NSN digits
+    "31": re.compile(r"[1-9]\d{8}"),                     # NL: 9 digits
+    "32": re.compile(r"4\d{8}|[1-9]\d{7}"),              # BE: mobile 9 / geo 8
+    "34": re.compile(r"[6-9]\d{8}"),                     # ES: 9 digits
+    "39": re.compile(r"0\d{5,10}|3\d{8,9}"),             # IT: keeps leading 0
+    "41": re.compile(r"[1-9]\d{8}"),                     # CH: 9 digits
+    "43": re.compile(r"[1-9]\d{3,12}"),                  # AT: variable length
+    "46": re.compile(r"[1-9]\d{6,12}"),                  # SE: variable length
+    "47": re.compile(r"[2-9]\d{7}"),                     # NO: 8 digits
+    "48": re.compile(r"[1-9]\d{8}"),                     # PL: 9 digits
+    "52": re.compile(r"[1-9]\d{9}"),                     # MX: 10 digits
+    "55": re.compile(r"[1-9]\d{9,10}"),                  # BR: 10-11 digits
+    "60": re.compile(r"[1-9]\d{7,9}"),                   # MY
+    "62": re.compile(r"[2-9]\d{7,11}"),                  # ID
+    "63": re.compile(r"[2-9]\d{7,9}"),                   # PH
+    "852": re.compile(r"[2-9]\d{7}"),                    # HK: 8 digits
+    "886": re.compile(r"[2-9]\d{7,8}"),                  # TW: 8-9 digits
+    "971": re.compile(r"5\d{8}|[2-9]\d{7}"),             # AE: mobile 9 / geo 8
 }
 
 

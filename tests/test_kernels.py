@@ -291,6 +291,26 @@ def test_vendored_international_phone_metadata():
                "+911234567890", "+86231"]
     for v in invalid:
         assert not is_valid_international(v), v
+    # r4 extension: 18 more vendored calling codes (29 total)
+    valid_r4 = ["+79161234567", "+77011234567",   # RU mobile, KZ mobile
+                "+31612345678", "+32470123456", "+34612345678",
+                "+390612345678", "+393331234567",  # IT geo (leading 0) + mobile
+                "+41791234567", "+4315812345", "+46701234567",
+                "+4722345678", "+48512345678", "+525512345678",
+                "+5511987654321"[:14],             # BR 11-digit mobile
+                "+60123456789", "+6281234567890", "+639171234567",
+                "+85221234567", "+886912345678", "+971501234567",
+                "+97142345678"]
+    for v in valid_r4:
+        assert is_valid_international(v), v
+    invalid_r4 = ["+71234567890",    # RU/KZ NSN cannot start 1/2
+                  "+310123456789",   # NL NSN cannot start 0
+                  "+34123456789",    # ES NSN starts 6-9
+                  "+4712345678",     # NO NSN starts 2-9
+                  "+85212345678",    # HK 8 digits only (9 given)
+                  "+97111234567"]    # AE NSN cannot start 1
+    for v in invalid_r4:
+        assert not is_valid_international(v), v
     # reference control flow: >10-char + numbers are KEPT even when invalid
     assert normalize_phone("+15551234567") == "+15551234567"
     # short + numbers need a genuinely valid NSN
