@@ -134,6 +134,12 @@ def parse_html(html: Union[str, bytes, None]) -> Optional[Element]:
             return None
     if not html.strip():
         return None
+    # unterminated comment: libxml2 swallows '<!--' to EOF as comment text;
+    # stdlib HTMLParser would flush it back as DATA on close(), leaking
+    # '<!-- ...' into text_content() — terminate it so both agree
+    last = html.rfind("<!--")
+    if last != -1 and "-->" not in html[last:]:
+        html += "-->"
     builder = _TreeBuilder()
     try:
         builder.feed(html)

@@ -86,6 +86,34 @@ GOLDEN_MALFORMED_TEXT = [
     ("<div class=unquoted data-x=1>a</div>", "a"),
     # duplicate close + reopen
     ("<div>a</div></div><div>b</div>", "ab"),
+    # --- r4 fixture classes (VERDICT r3 carry-over: grow the list) ---
+    # inline element crossing a block boundary (adoption-agency shape):
+    # recoveries restructure differently but text order is invariant
+    ("<div><b>a<p>b</p>c</b></div>", "abc"),
+    # bare '&' and lone '<'/'>' not forming markup are literal text
+    # (libxml2 recovery: '<' not followed by a name char is data)
+    ("<p>Fish & Chips</p>", "Fish & Chips"),
+    ("<p>5 < 6 and > 4</p>", "5 < 6 and > 4"),
+    # unknown entity stays literal (libxml2 htmlParseEntityRef warns,
+    # keeps the raw text)
+    ("<p>a&foo;b</p>", "a&foo;b"),
+    # nested list with both <li> unclosed
+    ("<ul><li>a<ul><li>b</ul></ul>", "ab"),
+    # tag-name case-insensitivity
+    ("<DIV>a<SpAn>b</SPAN></div>", "ab"),
+    # unterminated comment swallows to EOF as comment (libxml2); the
+    # stdlib parser would have flushed it back as text — see parse_html
+    ("<div>a<!-- unclosed", "a"),
+    # text directly inside <table>: libxml2 keeps it in place (it does
+    # NOT implement WHATWG foster-parenting, and neither do we — the
+    # parity target is lxml/libxml2, not a browser)
+    ("<table>x<tr><td>y</td></tr></table>", "xy"),
+    # void element with a bare (valueless) attribute
+    ("<input disabled>text", "text"),
+    # premature </body></html> then more content
+    ("<p>a</p></body></html><p>b</p>", "ab"),
+    # whitespace-padded attributes with single quotes
+    ("<div  class = 'x' >a</div>", "a"),
 ]
 
 
