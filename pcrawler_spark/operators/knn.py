@@ -443,19 +443,25 @@ def _adc_table(q: DataFrame, cb: DataFrame, m_sub: int, sub_dim: int) -> DataFra
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                 n_probe: int = 2, m_sub: int = 16, n_codes: int = 32,
                 n_iter: int = 2, id_col: str = "vec_id",
-                vec_col: str = "embedding", cell_col: str = "label") -> DataFrame:
+                vec_col: str = "embedding", cell_col: str = "label",
+                rerank: int | None = None) -> DataFrame:
     """The production 10^10-vector ANN shape: IVF coarse cells prune the
     candidate set (each query touches ``n_probe`` cells ≈ n_probe/n_cells
     of the corpus), then the ADC scan ranks ONLY the probed cells' members
     through their PQ codes — full vectors are never rescanned.  Cells here
     are the ``cell_col`` column (same contract as :func:`ivf_topk`; swap in
-    :func:`kmeans_fit` cells for the learned variant).
+    :func:`kmeans_fit` cells for the learned variant).  With ``rerank``
+    set, the ADC top-``rerank`` candidates get the exact-cosine re-rank
+    stage (:func:`pq_rerank_topk`'s second stage) — the full FAISS-style
+    IVF→ADC→re-rank composition; the full-vector probe still touches only
+    the broadcast candidate list, never an unprobed cell.
 
     Plan: centroids and ADC tables broadcast; the encoded corpus is
     partitioned by cell, so a probe is a partition-pruned join, and the
     per-(query, doc) sum is an exact long (see :func:`pq_topk`).
 
-    Returns (query_id, neighbor_id, rank, adist_ppm)."""
+    Returns (query_id, neighbor_id, rank, adist_ppm) — or
+    (query_id, neighbor_id, rank, cos) when ``rerank`` is set."""
     sub_dim = dim // m_sub
     cents = ivf_build(corpus, id_col, vec_col, cell_col)
     cb = pq_fit(corpus, dim, m_sub, n_codes, n_iter, id_col, vec_col)
@@ -487,10 +493,29 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_ppm").asc(), F.col("neighbor_id").asc()
     )
-    return (
+    adc = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (k if rerank is None else rerank))
+    )
+    if rerank is None:
+        return adc.select("query_id", "neighbor_id", "rank", "adist_ppm")
+    cand = adc.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine_similarity_col("qv", "cv"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adist_ppm")
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
