@@ -316,10 +316,10 @@ def xlsx_dir_to_dataframe(spark, path: str, schema, sheet: Optional[str] = None)
     stable regardless of per-file column order — parsed columns are
     matched to schema fields BY NAME, missing fields fill null, extra
     parsed columns are dropped."""
-    from pyspark.sql.types import StructType, _parse_datatype_string
+    from pyspark.sql.types import StructType
 
     if isinstance(schema, str):
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     if not isinstance(schema, StructType):
         raise TypeError("schema must be a DDL string or StructType")
     field_names = [f.name for f in schema.fields]
