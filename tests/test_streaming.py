@@ -197,3 +197,63 @@ def test_seen_backfill_after_upgrade(spark, tmp_path):
         extract_stream(spark.read.parquet(inp)).dropDuplicates(["url_hash"]).count()
     )
     assert final.count() == expected
+
+
+def test_watermark_drops_late_rows_and_closes_windows(spark, tmp_path):
+    """Behavioral watermark semantics, not just plan structure: in APPEND
+    mode a 1-hour window is emitted once the 2-hour watermark passes its
+    end, with ONLY the rows that arrived before the watermark — a row
+    arriving in a later run with an event time already behind the
+    persisted watermark is dropped, never revising the closed window.
+    Three availableNow runs share one checkpoint, so the watermark
+    carries across exactly like micro-batches of a live stream."""
+    import datetime as dt
+
+    inp = tmp_path / "late_in"
+    inp.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def page(url, ts):
+        return (url, ts, b"<html><body>x</body></html>", "x", "vi")
+
+    base = "https://w.example.vn/d-tong-quan-"
+    batches = {
+        # A: 3 on-time rows in the [10:00, 11:00) window
+        "a": [page(base + f"a{i}", t0 + dt.timedelta(minutes=i)) for i in range(3)],
+        # B: 2 rows 5 h later → advances watermark to ~13:00, closing A's window
+        "b": [page(base + f"b{i}", t0 + dt.timedelta(hours=5, minutes=i)) for i in range(2)],
+        # C: 1 LATE row at 10:01 — behind the persisted watermark → dropped
+        "c": [page(base + "late", t0 + dt.timedelta(minutes=1))],
+    }
+
+    def run_once(name):
+        got = []
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(inp / "f_*"))
+        agg = fetch_metrics_stream(stream, window="1 hour", watermark="2 hours")
+        q = (
+            # memory sink cannot recover a checkpoint; foreachBatch can, and
+            # in append mode each batch carries only newly-FINALIZED windows
+            agg.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    emitted = {}
+    for name, rows in batches.items():
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.parquet(
+            str(inp / f"f_{name}"))
+        emitted[name] = run_once(name)
+
+    # run A: watermark still behind the window end → nothing emitted
+    assert emitted["a"] == [], emitted["a"]
+    # run B closes the 10:00 window with EXACTLY batch A's 3 rows
+    assert sum(r.n_pages for r in emitted["b"] if r.window_start == t0) == 3, emitted["b"]
+    # run C: the late row is dropped — no new or revised emission anywhere
+    assert emitted["c"] == [], emitted["c"]
+    # the 15:00 window never closed (watermark never passed its end)
+    t5 = t0 + dt.timedelta(hours=5)
+    assert all(r.window_start != t5 for r in emitted["b"]), emitted["b"]
