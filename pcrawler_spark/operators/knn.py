@@ -341,7 +341,7 @@ def _explode_subvectors(vec_col, m_sub: int, sub_dim: int):
 
 def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
            n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-           round_dp: int = 6) -> DataFrame:
+           round_dp: int = 6, init: str = "minid") -> DataFrame:
     """Product-quantization codebooks (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI'11 — public): the vector is split
     into ``m_sub`` contiguous subspaces and each subspace gets its own
@@ -366,11 +366,29 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
     sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
           .select("id", "_s.sub", "_s.sv")
 
-    init = e.orderBy("id").limit(n_codes).collect()
-    cb = {
-        (s, c): list(r["v"])[s * sub_dim:(s + 1) * sub_dim]
-        for c, r in enumerate(init) for s in range(m_sub)
-    }
+    if init == "distinct":
+        # per-subspace first-n_codes DISTINCT subvectors (by min owning id):
+        # the min-id init degenerates when the n_codes smallest ids share
+        # identical subvectors in some subspace (e.g. residuals of one
+        # tight cell are all-zero outside its spread dims) — every initial
+        # code collapses to the same point, Lloyd funnels all members into
+        # code 0, and that subspace quantizes to a constant.  Distinct init
+        # is still RNG-free and engine-reproducible; a subspace with fewer
+        # than n_codes distinct subvectors just carries fewer codes.
+        w0 = Window.partitionBy("sub").orderBy(F.col("mid").asc())
+        seed_rows = (
+            sv.groupBy("sub", "sv").agg(F.min("id").alias("mid"))
+            .withColumn("_rn", F.row_number().over(w0))
+            .filter(F.col("_rn") <= n_codes)
+            .collect()
+        )
+        cb = {(r["sub"], r["_rn"] - 1): list(r["sv"]) for r in seed_rows}
+    else:
+        rows0 = e.orderBy("id").limit(n_codes).collect()
+        cb = {
+            (s, c): list(r["v"])[s * sub_dim:(s + 1) * sub_dim]
+            for c, r in enumerate(rows0) for s in range(m_sub)
+        }
 
     def cdf():
         return spark.createDataFrame(
@@ -557,6 +575,112 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist_ppm")
+    )
+
+
+def ivf_pq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                         k: int = 5, n_probe: int = 2, m_sub: int = 16,
+                         n_codes: int = 32, n_iter: int = 2,
+                         rerank: int | None = None, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         cell_col: str = "label") -> DataFrame:
+    """True IVFADC (Jégou et al. TPAMI'11 §III.C): PQ codebooks are fit on
+    the RESIDUALS ``v − centroid(cell)``, not the raw vectors — the
+    textbook production detail :func:`ivf_pq_topk` omits.  Residuals have
+    far smaller variance than raw vectors when cells capture real
+    clusters, so the same code budget quantizes them much more finely;
+    each query then builds one ADC table PER PROBED CELL against its own
+    residual ``q − centroid(cell)``.
+
+    Scale shape: centroids, probe lists and the per-(query, cell) ADC
+    tables (n_probe × m_sub × n_codes rows per query — still tiny) are
+    broadcast; the encoded-residual corpus streams map-side exactly like
+    :func:`pq_topk`; the optional ``rerank`` exact-cosine stage probes
+    full vectors only through the broadcast candidate list.
+
+    Sanity invariant (pinned in pytest): with ``n_probe`` = all cells and
+    ``rerank`` set, the result EQUALS brute force.
+
+    Returns (query_id, neighbor_id, rank, adist_ppm) — or
+    (query_id, neighbor_id, rank, cos) when ``rerank`` is set."""
+    sub_dim = dim // m_sub
+    cents = ivf_build(corpus, id_col, vec_col, cell_col)
+    e = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(cell_col).alias("cell"),
+    )
+    resid = e.join(F.broadcast(cents), "cell").select(
+        "id", "cell",
+        F.zip_with("v", "centroid", lambda a, b: a - b).alias("rv"),
+    )
+    # distinct init: residuals of a tight cell are all-zero outside its
+    # spread dims, so min-id init would hand some subspaces n_codes copies
+    # of the same point (see pq_fit)
+    cb = pq_fit(resid, dim, m_sub, n_codes, n_iter, id_col="id", vec_col="rv",
+                init="distinct")
+    enc = pq_encode(resid, cb, dim, m_sub, id_col="id", vec_col="rv").join(
+        resid.select("id", "cell"), "id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", F.round(cosine_similarity_col("qv", "centroid"), 6))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(
+            "query_id", "cell",
+            F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qrv"),
+        )
+    )
+    # per-(query, probed cell) ADC table over the QUERY RESIDUAL
+    qsv = probes.select(
+        "query_id", "cell",
+        _explode_subvectors(F.col("qrv"), m_sub, sub_dim).alias("_s"),
+    ).select("query_id", "cell", "_s.sub", "_s.sv")
+    dt = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id", "cell", "sub", "code",
+        F.floor(F.lit(1_000_000.0) * _sq_l2(F.col("sv"), F.col("cvec")))
+        .cast("long").alias("d_ppm"),
+    )
+    scored = (
+        enc.join(F.broadcast(dt), ["cell", "sub", "code"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d_ppm").alias("adist_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_ppm").asc(), F.col("neighbor_id").asc()
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (k if rerank is None else rerank))
+    )
+    if rerank is None:
+        return adc.select("query_id", "neighbor_id", "rank", "adist_ppm")
+    cand = adc.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine_similarity_col("qv", "cv"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
