@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Two-parallelism-level scaling evidence for the TRAINING pipeline
+(plans/training.py) — the second job measured under the north rule's
+N-vs-4N criterion (the headline crawl pass is bench.py's job).
+
+Same protocol as bench.py's crawl scaling: real executor JVMs via
+local-cluster (1×4 vs 4×4), lo/hi sessions INTERLEAVED per round so both
+levels sample the same host window, first run per session discarded as
+warm-up, efficiency = median of per-round adjacent pair ratios.
+
+The corpus is deterministic: 60k docs ≈ 55 tokens each, with planted
+exact-duplicate groups (20%) and near-duplicate edits (20%) so every
+stage (quality gate → lang ID → fp keep-min → MinHash-LSH → connected
+components → canonical) does real work.  Prints ONE summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+N_DOCS = int(os.environ.get("TRAIN_SCALE_DOCS", "60000"))
+CORPUS = os.path.join(REPO, ".bench", f"training_docs_{N_DOCS}")
+
+_WORDS = ("the data engine reads a stream of pages and the tokens flow into "
+          "shards while the quality gate keeps the clean text and the dedup "
+          "stage drops a copy of every page it has seen before so the corpus "
+          "stays small and the training run is fast and stable").split()
+
+
+def _h(base: int, j: int) -> int:
+    x = (base * 2654435761 + j * 40503 + 7) & 0xFFFFFFFF
+    return x ^ (x >> 13)
+
+
+def _doc_text(i: int) -> str:
+    base = i % 5000
+    # hashed per-(base, position) word choice: a rotation of one word list
+    # would make ALL bases share ~90% of their 2-gram shingles (cyclic
+    # adjacency is rotation-invariant) and LSH would full-mesh the corpus
+    words = [_WORDS[_h(base, j) % len(_WORDS)] for j in range(50)]
+    kind = i % 10
+    if kind < 2 and i >= 5000:            # 20%: exact duplicate of an earlier doc
+        pass
+    elif kind < 4 and i >= 5000:          # 20%: near-duplicate (1-word edit)
+        words[3] = f"tok{i % 97}"
+    else:                                 # 60%: unique suffix
+        words.append(f"unique{i}")
+    return " ".join(words)
+
+
+def ensure_corpus(spark) -> str:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return CORPUS
+    rows = [(i, _doc_text(i)) for i in range(N_DOCS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 128 files: several task waves at 16 cores (straggler ≪ wall)
+    df.repartition(128).write.mode("overwrite").parquet(CORPUS)
+    return CORPUS
+
+
+def run_level(n_executors: int, runs: int = 2) -> list[float]:
+    from pcrawler_spark.plans.training import training_pipeline
+    from pcrawler_spark.session import get_spark
+
+    # shuffle partitions sized by DATA, not cores: 4 partitions of a 480k-doc
+    # LSH/groupBy shuffle OOM a 6 GB executor — the spill-aware rule is
+    # partitions ≈ data/size-budget, identical at both levels so the
+    # comparison measures executors, not partitioning
+    shuffle = max(32, N_DOCS // 15_000)
+    spark = get_spark(
+        app_name=f"training_scaling_{n_executors}x4",
+        master=f"local-cluster[{n_executors},4,6144]",
+        shuffle_partitions=shuffle,
+        extra_conf={
+            "spark.locality.wait": "0",
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+            # AQE's parallelismFirst coalesces post-shuffle partitions to
+            # the level's CORE COUNT — at 1×4 the 23M-row shingle explode
+            # lands in ~5 partitions and OOMs the 6 GB heap, while 4×4
+            # gets 16+ (an asymmetric advantage).  Size by DATA instead,
+            # identically at both levels.
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    walls = []
+    try:
+        docs = spark.read.parquet(CORPUS)
+        # warm-up (workers import the zip, codegen JITs): quality gate only
+        training_pipeline(docs, quality_min=0, near_dedup=False).count()
+        for _ in range(runs):
+            t0 = time.time()
+            n = training_pipeline(docs, quality_min=0).count()
+            walls.append(round(time.time() - t0, 3))
+        return walls, n
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from pcrawler_spark.session import get_spark
+
+    gen = get_spark(app_name="training_scaling_gen")
+    ensure_corpus(gen)
+    gen.stop()
+
+    rounds = []
+    lo_all, hi_all = [], []
+    for _ in range(2):
+        lo, n_out = run_level(1)
+        hi, _ = run_level(4)
+        lo_all += lo
+        hi_all += hi
+        rounds.append(round(min(lo) / (4 * min(hi)), 3))
+    eff = sorted(rounds)[len(rounds) // 2]
+    print(json.dumps({
+        "job": "training_pipeline (quality->langid->fp-dedup->LSH->CC->canonical)",
+        "n_docs": N_DOCS,
+        "n_canonical": n_out,
+        "lo_walls_s": lo_all, "hi_walls_s": hi_all,
+        "lo_docs_per_sec": round(N_DOCS / min(lo_all), 1),
+        "hi_docs_per_sec": round(N_DOCS / min(hi_all), 1),
+        "round_pair_efficiencies": rounds,
+        "efficiency": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
