@@ -727,6 +727,120 @@ def pq_rerank_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
+def sq8_fit(corpus: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension [min, max] bounds for 8-bit scalar quantization (the
+    FAISS SQ8 shape — the OTHER standard ANN compression next to PQ:
+    4× smaller than float32 at per-dim resolution range/255, vs PQ's
+    far coarser m_sub bytes/vector).  Returns (pos, vmin, vmax) — dim
+    rows, always collected/broadcast."""
+    return (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.min("col").alias("vmin"), F.max("col").alias("vmax"))
+    )
+
+
+def _sq8_bounds_arrays(bounds: DataFrame):
+    """Collect the (dim-row) bounds into literal arrays (vmin[], scale[])
+    — one bounded driver action, KBs."""
+    rows = sorted((r["pos"], r["vmin"], r["vmax"]) for r in bounds.collect())
+    vmin = [r[1] for r in rows]
+    scale = [max((r[2] - r[1]) / 255.0, 1e-30) for r in rows]
+    return (
+        F.array(*[F.lit(float(x)) for x in vmin]),
+        F.array(*[F.lit(float(x)) for x in scale]),
+    )
+
+
+def sq8_encode(corpus: DataFrame, bounds: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<smallint> in [0, 255]): each dimension rounded to
+    its 8-bit level.  Pure JVM transform — no shuffle, no UDF."""
+    vmin, scale = _sq8_bounds_arrays(bounds)
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        v,
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round((x - F.element_at(vmin, i + 1)) / F.element_at(scale, i + 1)).cast("int"),
+            ),
+        ).cast("smallint"),
+    )
+    return corpus.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             rerank: int | None = None, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric SQ8 scan: queries stay full-precision, the corpus is
+    touched only through its 8-bit codes (decoded on the fly inside the
+    distance fold — the stored column is 4× smaller than float32 and 8×
+    smaller than this table's float64).  Squared-L2 ranking with the
+    floor-ppm integer discipline; optional exact-cosine ``rerank`` stage
+    identical to :func:`pq_rerank_topk`'s.
+
+    Scale shape: per-dim bounds + queries broadcast; the encoded corpus
+    streams map-side (no shuffle before the per-query top-k window); for
+    candidate PRUNING compose with the IVF cell filter exactly like
+    :func:`ivf_pq_topk` — SQ8 replaces the codes, not the index.
+
+    Returns (query_id, neighbor_id, rank, adist_ppm), or cos with rerank."""
+    bounds = sq8_fit(corpus, id_col, vec_col)
+    vmin, scale = _sq8_bounds_arrays(bounds)
+    enc = sq8_encode(corpus, bounds, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    decoded = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(vmin, i + 1)
+        + c.cast("double") * F.element_at(scale, i + 1),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("id"))
+        .withColumn(
+            "adist_ppm",
+            F.floor(F.lit(1_000_000.0) * F.aggregate(
+                F.zip_with(decoded, F.col("qv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_ppm").asc(), F.col("id").asc()
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (k if rerank is None else rerank))
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "adist_ppm")
+    )
+    if rerank is None:
+        return adc
+    cand = adc.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine_similarity_col("qv", "cv"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
               cell_col: str = "label") -> DataFrame:
     """Coarse-cell centroids (here cells = the given column; a k-means step

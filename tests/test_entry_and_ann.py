@@ -358,3 +358,46 @@ def test_ivf_pq_residual_beats_raw_encoding_on_clusters(spark):
     r_raw = recall(ivf_pq_topk(df, q, **kw))
     assert r_res >= r_raw, (r_res, r_raw)
     assert r_res >= 0.6, r_res
+
+
+def test_sq8_quality_compression_determinism(spark):
+    """8-bit scalar quantization (FAISS SQ8 shape): the asymmetric scan over
+    codes alone must nearly reproduce exact L2 ranking (per-dim resolution
+    range/255 ≫ PQ's subspace granularity), codes must be true bytes
+    (dim per vector, 0..255), the fit deterministic, and the exact re-rank
+    must recover brute force fully."""
+    from pcrawler_spark.operators.knn import (
+        brute_force_topk, sq8_encode, sq8_fit, sq8_topk)
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+
+    # exact squared-L2 truth (the scan's own metric)
+    ev = {r.vec_id: r.embedding for r in e.collect()}
+    tpairs = set()
+    for qi in range(10):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(ev[qi], v)), i)
+            for i, v in ev.items() if i != qi
+        )
+        tpairs |= {(qi, i) for _, i in d[:5]}
+
+    got = {(r.query_id, r.neighbor_id)
+           for r in sq8_topk(e, q, k=5).collect()}
+    recall = len(got & tpairs) / len(tpairs)
+    assert recall >= 0.9, f"SQ8 codes-only recall too low: {recall}"
+
+    # with the exact re-rank: equals brute force (cosine metric) row for row
+    truth = sorted((r.query_id, r.neighbor_id, r.rank)
+                   for r in brute_force_topk(e, q, k=5).collect())
+    rr = sorted((r.query_id, r.neighbor_id, r.rank)
+                for r in sq8_topk(e, q, k=5, rerank=50).collect())
+    assert rr == truth
+
+    bounds = sq8_fit(e)
+    enc = sq8_encode(e, bounds).collect()
+    assert all(len(r.codes) == 64 for r in enc)
+    assert all(0 <= c <= 255 for r in enc for c in r.codes)
+    enc2 = sq8_encode(e, sq8_fit(e)).collect()
+    assert sorted((r.id, tuple(r.codes)) for r in enc) == \
+           sorted((r.id, tuple(r.codes)) for r in enc2)
