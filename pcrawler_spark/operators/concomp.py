@@ -13,11 +13,20 @@ O(diameter) of naive label propagation, which livelocks on long chains
 
 Scale shape per round: symmetrize → groupBy(min) → same-key join (the
 aggregation's exchange is reused by the join), then distinct.  Lineage is
-truncated every round with localCheckpoint (iterative joins otherwise stack
-plans until the driver OOMs planning, long before data is the problem);
-convergence is detected with ONE bounded agg action per round (count +
-order-free hash-sum signature), the same 2-actions-per-pass discipline the
-epoch engine enforces.
+truncated with localCheckpoint (iterative joins otherwise stack plans
+until the driver OOMs planning, long before data is the problem).
+
+Driver-pacing discipline (the measured round-4 bottleneck): TWO
+large/small-star rounds run per convergence check, the checkpoints are
+LAZY (``eager=False`` — the signature collect that follows is the action
+that materializes them), so the whole loop costs ONE driver job per two
+star rounds instead of round 4's two jobs per one round — a 4× cut in the
+fixed scheduling + barrier tax that capped the composed training
+pipeline's N→4N efficiency at 0.65.  Convergence is still detected with
+one bounded agg action (count + order-free hash-sum signature): star
+steps are monotone in the potential of Kiveris et al. §4, so an unchanged
+signature across a 2-round batch can only occur at the fixpoint (a
+period-2 cycle would need the potential to increase).
 """
 
 from __future__ import annotations
@@ -102,9 +111,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """→ DataFrame(id long, component long): every node of the (undirected)
     edge list labeled with the MINIMUM node id of its component.
 
-    ``max_iter`` is a backstop: large/small-star converges in O(log^2 n)
-    rounds (~10 for 10^10 nodes); hitting the cap raises rather than
-    silently returning partial clusters.
+    ``max_iter`` is a backstop on STAR ROUNDS (two run per convergence
+    check): large/small-star converges in O(log^2 n) rounds (~10 for 10^10
+    nodes); hitting the cap raises rather than silently returning partial
+    clusters.
     """
     e = (
         edges.select(
@@ -118,16 +128,23 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         e = e.repartition(num_partitions, "u")
     nodes = _sym(e).select("u").distinct()
 
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoints: the signature collect is the action that
+    # materializes them — no dedicated materialization job per round
+    e = e.localCheckpoint(eager=False)
     sig = _signature(e)
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    converged = False
+    for _ in range((max_iter + 1) // 2):
+        # two star rounds per driver action; the mid-batch checkpoint is
+        # lazy too — it truncates round 2's lineage without a barrier
+        mid = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e2 = _small_star(_large_star(mid)).localCheckpoint(eager=False)
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
+            converged = True
             break
         sig = sig2
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
