@@ -754,10 +754,15 @@ def _sq8_bounds_arrays(bounds: DataFrame):
 
 
 def sq8_encode(corpus: DataFrame, bounds: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               _arrays=None) -> DataFrame:
     """(id, codes array<smallint> in [0, 255]): each dimension rounded to
-    its 8-bit level.  Pure JVM transform — no shuffle, no UDF."""
-    vmin, scale = _sq8_bounds_arrays(bounds)
+    its 8-bit level.  Pure JVM transform — no shuffle, no UDF.
+
+    ``_arrays``: precomputed ``_sq8_bounds_arrays`` literals — callers that
+    already collected the bounds (sq8_topk / ivf_sq8_topk) pass them so the
+    bounds aggregation runs ONCE, not once per consumer."""
+    vmin, scale = _arrays if _arrays is not None else _sq8_bounds_arrays(bounds)
     v = F.col(vec_col).cast("array<double>")
     codes = F.transform(
         v,
@@ -784,13 +789,13 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Scale shape: per-dim bounds + queries broadcast; the encoded corpus
     streams map-side (no shuffle before the per-query top-k window); for
-    candidate PRUNING compose with the IVF cell filter exactly like
-    :func:`ivf_pq_topk` — SQ8 replaces the codes, not the index.
+    candidate PRUNING compose with the IVF cell filter —
+    :func:`ivf_sq8_topk` — SQ8 replaces the codes, not the index.
 
     Returns (query_id, neighbor_id, rank, adist_ppm), or cos with rerank."""
     bounds = sq8_fit(corpus, id_col, vec_col)
     vmin, scale = _sq8_bounds_arrays(bounds)
-    enc = sq8_encode(corpus, bounds, id_col, vec_col)
+    enc = sq8_encode(corpus, bounds, id_col, vec_col, _arrays=(vmin, scale))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -802,6 +807,96 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     scored = (
         enc.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("id"))
+        .withColumn(
+            "adist_ppm",
+            F.floor(F.lit(1_000_000.0) * F.aggregate(
+                F.zip_with(decoded, F.col("qv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_ppm").asc(), F.col("id").asc()
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (k if rerank is None else rerank))
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "adist_ppm")
+    )
+    if rerank is None:
+        return adc
+    cand = adc.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine_similarity_col("qv", "cv"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_probe: int = 2, rerank: int | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 cell_col: str = "label") -> DataFrame:
+    """IVF cell pruning composed with SQ8 codes — the composition
+    :func:`sq8_topk`'s docstring promises: each query probes its
+    ``n_probe`` nearest cells (by centroid cosine, q30's contract) and the
+    asymmetric SQ8 scan ranks ONLY the probed cells' members through their
+    8-bit codes; unprobed cells are never scanned, full vectors are
+    touched only by the optional exact-cosine ``rerank`` stage through the
+    broadcast candidate list.
+
+    Plan shape at 10^10 vectors: centroids, probe lists and queries
+    broadcast; the encoded corpus (4× smaller than float32) is partitioned
+    by cell so a probe is a partition-pruned join; distances are a pure
+    JVM fold over the decoded codes — no UDF, no shuffle before the
+    per-query top-k window.
+
+    Sanity invariant (pinned in pytest): ``n_probe`` = all cells with
+    ``rerank`` set EQUALS brute force, row for row.
+
+    Returns (query_id, neighbor_id, rank, adist_ppm) — or
+    (query_id, neighbor_id, rank, cos) when ``rerank`` is set."""
+    cents = ivf_build(corpus, id_col, vec_col, cell_col)
+    bounds = sq8_fit(corpus, id_col, vec_col)
+    vmin, scale = _sq8_bounds_arrays(bounds)
+    enc = sq8_encode(corpus, bounds, id_col, vec_col, _arrays=(vmin, scale)).join(
+        corpus.select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell")), "id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", F.round(cosine_similarity_col("qv", "centroid"), 6))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    decoded = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(vmin, i + 1)
+        + c.cast("double") * F.element_at(scale, i + 1),
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
         .filter(F.col("query_id") != F.col("id"))
         .withColumn(
             "adist_ppm",

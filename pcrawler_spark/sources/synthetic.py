@@ -512,3 +512,36 @@ def pages_spark_df(spark, cfg: SyntheticCrawlConfig | None = None,
     return company_pages.unionByName(listing_pages).repartition(
         num_files or n_parts, F.xxhash64("url")
     )
+
+
+def planted_cluster_embeddings(embeddings, n_clusters: int = 16,
+                               spread: float = 0.25):
+    """Derive a PLANTED-CLUSTER embedding table from the driver testdata's
+    near-random embeddings — deterministic and replayable in ANSI SQL, so
+    IVF recall demos (q54/q58) run against data where cells carry real
+    structure instead of arbitrary labels.
+
+    Construction: cluster c = vec_id % n_clusters; dimension i of the new
+    vector is ``((c*37 + i*11) % 17) - 8 + spread * v[i]`` — an
+    integer-lattice cluster center (distinct for every c < 17, since 37 is
+    invertible mod 17) plus a small deterministic within-cluster offset
+    reusing the source embedding.  Center math is exact integer→double, the
+    offset is one multiply-add, so Spark and DuckDB produce bit-identical
+    vectors (the SQL side is the `list_transform` in __spark_entry__'s
+    clustered-CTE).
+
+    Returns (vec_id, embedding array<double>, label int) — the same
+    contract as the raw table, with `label` = the true cluster."""
+    from pyspark.sql import functions as F
+
+    if n_clusters > 17:
+        raise ValueError("center lattice is mod-17: n_clusters must be <= 17")
+    c = (F.col("vec_id") % n_clusters).cast("int")
+    emb = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: ((c * 37 + i * 11) % 17).cast("double") - 8.0
+        + F.lit(float(spread)) * x,
+    )
+    return embeddings.select(
+        "vec_id", emb.alias("embedding"), c.alias("label")
+    )

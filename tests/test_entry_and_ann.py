@@ -236,10 +236,13 @@ def test_pq_dim_validation(spark):
 
 def test_ivf_pq_prunes_to_probed_cells(spark):
     """q54's neighbors must all come from each query's 2 probed cells —
-    the candidate-set pruning is real, not decorative."""
+    the candidate-set pruning is real, not decorative.  (r5: q54 runs on
+    the planted-cluster table, so cells are real clusters.)"""
     from pcrawler_spark.operators.knn import ivf_build, cosine_similarity_col
+    from pcrawler_spark.sources.synthetic import planted_cluster_embeddings
 
-    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    e = planted_cluster_embeddings(
+        spark.read.parquet(SF_DIR + "/embeddings.parquet"))
     res = entry_mod.q54_ivf_pq_topk(spark, SF_DIR).collect()
     labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
 
@@ -401,3 +404,58 @@ def test_sq8_quality_compression_determinism(spark):
     enc2 = sq8_encode(e, sq8_fit(e)).collect()
     assert sorted((r.id, tuple(r.codes)) for r in enc) == \
            sorted((r.id, tuple(r.codes)) for r in enc2)
+
+
+def test_ivf_sq8_exactness_and_pruning(spark):
+    """ivf_sq8_topk (IVF cells + SQ8 codes — the composition sq8_topk's
+    docstring promises): probing ALL cells with the exact re-rank must
+    EQUAL brute force, and under probe-1 every neighbor must come from the
+    query's single probed cell — pruning is real, not decorative."""
+    import math
+    from pcrawler_spark.operators.knn import (
+        brute_force_topk, ivf_build, ivf_sq8_topk)
+
+    df = _clustered_embeddings(spark)
+    q = df.filter(F.col("vec_id") % 25 == 0)
+    truth = sorted((r.query_id, r.neighbor_id, r.rank)
+                   for r in brute_force_topk(df, q, k=5).collect())
+    got = sorted((r.query_id, r.neighbor_id, r.rank)
+                 for r in ivf_sq8_topk(df, q, k=5, n_probe=4,
+                                       rerank=100).collect())
+    assert got == truth
+
+    res = ivf_sq8_topk(df, q, k=5, n_probe=1).collect()
+    assert len(res) > 0
+    labels = {r.vec_id: r.label for r in df.collect()}
+    cents = {r.cell: r.centroid for r in ivf_build(df).collect()}
+    qvecs = {r.vec_id: r.embedding for r in q.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(y * y for y in b))), 6)
+
+    for qq, v in qvecs.items():
+        probed = min(cents, key=lambda c: (-cos(v, cents[c]), c))
+        for r in res:
+            if r.query_id == qq:
+                assert labels[r.neighbor_id] == probed, (qq, r.neighbor_id)
+
+
+def test_q54_clustered_recall_at_probe_budget(spark):
+    """The driver-checked q54 config (probe-2/16 = 12.5% corpus coverage,
+    ADC m=16×32, re-rank 50) must demonstrate RETRIEVAL on the
+    planted-cluster table: recall@5 ≥ 0.9 vs brute force at the same
+    budget (r4's clusterless config capped at probe coverage ≈ 0.32)."""
+    from pcrawler_spark.operators.knn import brute_force_topk
+    from pcrawler_spark.sources.synthetic import planted_cluster_embeddings
+
+    e = planted_cluster_embeddings(
+        spark.read.parquet(SF_DIR + "/embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < 10)
+    tset = {(r.query_id, r.neighbor_id)
+            for r in brute_force_topk(e, q, k=5).collect()}
+    gset = {(r.query_id, r.neighbor_id)
+            for r in entry_mod.q54_ivf_pq_topk(spark, SF_DIR).collect()}
+    recall = len(gset & tset) / len(tset)
+    assert recall >= 0.9, f"clustered IVF+PQ recall@5 too low: {recall}"
