@@ -565,7 +565,15 @@ def main() -> None:
                 f.write("\n" + nf.read())
 
     line = json.dumps(payload, separators=(",", ":"))
-    assert len(line) < 1900, f"bench summary line too long ({len(line)}) for driver tail capture"
+    # the driver tail-captures ~2KB: on overflow drop optional detail
+    # (never die — an otherwise complete run must still emit its line)
+    for drop in ("raw_control", "queries", "scaling"):
+        if len(line) < 1900:
+            break
+        payload.pop(drop, None)
+        payload["truncated"] = payload.get("truncated", []) + [drop]
+        line = json.dumps(payload, separators=(",", ":"))
+        print(f"# WARNING: summary over tail budget, dropped {drop}", file=sys.stderr)
     print(line)
 
 

@@ -134,15 +134,17 @@ def parse_html(html: Union[str, bytes, None]) -> Optional[Element]:
             return None
     if not html.strip():
         return None
-    # unterminated comment: libxml2 swallows '<!--' to EOF as comment text;
-    # stdlib HTMLParser would flush it back as DATA on close(), leaking
-    # '<!-- ...' into text_content() — terminate it so both agree
-    last = html.rfind("<!--")
-    if last != -1 and "-->" not in html[last:]:
-        html += "-->"
     builder = _TreeBuilder()
     try:
         builder.feed(html)
+        # unterminated comment: libxml2 swallows '<!--' to EOF as comment
+        # text; stdlib HTMLParser would flush the pending '<!-- ...' tail
+        # back as DATA on close(), leaking it into text_content().  The
+        # parser's own buffer says whether it is REALLY inside an open
+        # comment at EOF (a '<!--' inside closed <script>/<style> CDATA is
+        # script data and never lands in rawdata) — only then terminate it.
+        if builder.rawdata.startswith("<!--"):
+            builder.feed("-->")
         builder.close()
     except Exception:
         return None

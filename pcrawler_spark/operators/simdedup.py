@@ -100,18 +100,58 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     )
 
 
+# affine minhash family over the Mersenne prime 2^31−1: ONE portable md5
+# per shingle (h0), then hash s = (A_s·h0 + B_s) mod P.  At corpus scale
+# this is k× less hashing than md5(seed|shingle) per seed, the biggest CPU
+# term of the whole dedup pipeline (measured: the per-seed-md5 variant was
+# the non-scaling stage of the 240k-doc training run).  All operands stay
+# < 2^62 so the arithmetic is exact BIGINT in Spark AND DuckDB — the q27
+# oracle replays it verbatim.
+_MH_P = 2147483647
+
+
+def _mh_seed_consts(seed: int) -> tuple[int, int]:
+    return ((seed + 1) * 2654435761) % _MH_P, (seed * 40503 + 7) % _MH_P
+
+
+def _minhash_wide(df: DataFrame, n_hashes: int, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """doc → (_mh_0 .. _mh_{k-1}): all k minhashes in ONE groupBy — k
+    conditional min-aggregations over the shingle relation instead of a
+    k× seed explode (k× smaller pre-aggregation input, map-side combine
+    still applies)."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+        # explicit width: the explode below multiplies rows ~shingles-per-doc×,
+        # so AQE's PRE-explode byte sizing must not coalesce this stage down
+        # to a handful of tasks (repartition with an explicit count is exempt
+        # from AQE coalescing; measured 16-core md5 stage otherwise ran ~6-wide)
+        .repartition(n_part, "doc")
+        .select("doc", F.explode(_shingles("_t", n)).alias("shingle"))
+        .withColumn("h0", _h32(F.col("shingle")) % _MH_P)
+    )
+    aggs = []
+    for s in range(n_hashes):
+        a, b = _mh_seed_consts(s)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MH_P).alias(f"_mh_{s}")
+        )
+    return sh.groupBy("doc").agg(*aggs)
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 8,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3) -> DataFrame:
-    """doc → (seed, minhash) rows using the portable md5-derived hash."""
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle"))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    hashed = sh.select(
-        "doc",
-        seeds,
-        "shingle",
-    ).withColumn("h", _h32(F.concat_ws("|", F.col("seed"), F.col("shingle"))))
-    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+    """doc → (seed, minhash) rows using the portable md5-derived affine
+    hash family (see :data:`_MH_P`)."""
+    wide = _minhash_wide(df, n_hashes, id_col, text_col, n)
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"_mh_{s}").alias("minhash"))
+        for s in range(n_hashes)
+    ])).alias("_p")
+    return wide.select("doc", pairs).select("doc", "_p.seed", "_p.minhash")
 
 
 def minhash_bands(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
@@ -120,16 +160,25 @@ def minhash_bands(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
     """Per-doc LSH band rows (doc, band, mh_0..mh_{band_rows-1}) — the
     probe/store key set shared by the batch candidate join
     (:func:`minhash_lsh_candidates`) and the streaming incremental
-    near-dup store (streaming/pipeline.py)."""
-    sig = minhash_signatures(df, n_hashes, id_col, text_col, n)
-    slot_cols = [
-        F.min(F.when(F.col("seed") % band_rows == r, F.col("minhash"))).alias(f"mh_{r}")
-        for r in range(band_rows)
-    ]
+    near-dup store (streaming/pipeline.py).  Built straight from the wide
+    signature aggregation — one shuffle, no seed explode.  A trailing
+    partial band (band_rows ∤ n_hashes) carries NULL in its missing slots,
+    which never equi-join — identical to the per-seed formulation."""
+    wide = _minhash_wide(df, n_hashes, id_col, text_col, n)
+    n_bands = (n_hashes + band_rows - 1) // band_rows
+    structs = []
+    for b in range(n_bands):
+        fields = [F.lit(b).alias("band")]
+        for r in range(band_rows):
+            s = b * band_rows + r
+            fields.append(
+                (F.col(f"_mh_{s}") if s < n_hashes
+                 else F.lit(None).cast("long")).alias(f"mh_{r}")
+            )
+        structs.append(F.struct(*fields))
     return (
-        sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
-        .groupBy("doc", "band")
-        .agg(*slot_cols)
+        wide.select("doc", F.explode(F.array(*structs)).alias("_b"))
+        .select("doc", "_b.*")
     )
 
 
@@ -150,6 +199,37 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_star_edges(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = 3) -> DataFrame:
+    """Connectivity-preserving LSH edges for CLUSTERING: every band-bucket
+    member is connected to the bucket's MIN doc — the transitive closure
+    (and therefore the connected components / canonical docs downstream)
+    is IDENTICAL to :func:`minhash_lsh_candidates`' full per-bucket clique,
+    at O(members) edges per bucket instead of O(members²).
+
+    This is the candidate generator a 100 TB dedup pipeline must use: a
+    10^4-member bucket (a boilerplate family) is 10^4 star edges, not
+    5·10^7 pair rows — and the quadratic clique materialization (plus its
+    full-width distinct) was the measured wall-clock tail of the 240k-doc
+    training run.  The per-bucket min comes from a groupBy on the band
+    key, so the bucket join reuses the aggregation's exchange (no second
+    shuffle); no distinct is needed because connected_components
+    deduplicates its input edge list.
+
+    Use :func:`minhash_lsh_candidates` when the PAIRS themselves are the
+    product (verification, scoring, reporting); use this when the pairs
+    only feed a clustering."""
+    bands = minhash_bands(df, n_hashes, band_rows, id_col, text_col, n)
+    keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
+    roots = bands.groupBy(*keys).agg(F.min("doc").alias("_root"))
+    return (
+        bands.join(roots, keys)
+        .where(F.col("doc") != F.col("_root"))
+        .select(F.col("_root").alias("doc_a"), F.col("doc").alias("doc_b"))
     )
 
 

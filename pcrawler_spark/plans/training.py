@@ -9,13 +9,15 @@ Stage order (each an already-oracled operator, all groupBy/band-join shapes
 2. quality gate: ``quality_ppm >= quality_min``;
 3. exact dedup: keep the min doc_id per normalized-text fingerprint
    (groupBy + left-semi — the partial-agg shape, not a window sort);
-4. near-dup canonical (optional): MinHash-LSH pairs → large-star/small-star
-   connected components → keep component roots (operators/simdedup.py +
-   operators/concomp.py).
+4. near-dup canonical (optional): MinHash-LSH STAR edges (bucket-min →
+   member: same transitive closure as the full per-bucket clique at
+   O(members) instead of O(members²) edges — see
+   simdedup.minhash_lsh_star_edges) → large-star/small-star connected
+   components → keep component roots.
 
 At 100 TB every stage partitions by its own key (fp, band key, component
-id) and the only iteration is CC's O(log²)-round loop; measured 3,000
-docs/s end-to-end on 100k docs at local[32] (BENCH_NOTES.md)."""
+id) and the only iteration is CC's O(log²)-round loop (2 star rounds per
+driver action)."""
 
 from __future__ import annotations
 
@@ -31,7 +33,7 @@ def training_pipeline(docs: DataFrame, quality_min: int = 450000,
     """documents(id, text, ...) → surviving annotated docs
     (id, lang_pred, quality_ppm, n_tokens + original columns)."""
     from pcrawler_spark.operators.concomp import connected_components
-    from pcrawler_spark.operators.simdedup import minhash_lsh_candidates
+    from pcrawler_spark.operators.simdedup import minhash_lsh_star_edges
     from pcrawler_spark.operators.textstats import (
         fingerprint, lang_id, quality_score, token_count)
 
@@ -42,7 +44,7 @@ def training_pipeline(docs: DataFrame, quality_min: int = 450000,
     kept = passed.join(keep, ["fp", id_col], "left_semi")
     if not near_dedup:
         return kept
-    pairs = minhash_lsh_candidates(
+    pairs = minhash_lsh_star_edges(
         kept.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         n_hashes=n_hashes, band_rows=band_rows,
     )

@@ -332,6 +332,13 @@ def xlsx_dir_to_dataframe(spark, path: str, schema, sheet: Optional[str] = None)
         for pdf in batches:
             for content in pdf["content"]:
                 cols, rows = read_xlsx(io.BytesIO(bytes(content)), sheet=sheet)
+                dup = {c for c in cols if cols.count(c) > 1}
+                if dup:
+                    # by-name matching would silently keep only the LAST
+                    # duplicate column's data — refuse instead
+                    raise ValueError(
+                        f"duplicate header names in workbook: {sorted(dup)}"
+                    )
                 by_name = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
                 n = len(rows)
                 yield pd.DataFrame(

@@ -63,7 +63,7 @@ def ensure_corpus(spark) -> str:
     return CORPUS
 
 
-def run_level(n_executors: int, runs: int = 2) -> list[float]:
+def run_level(n_executors: int, runs: int = 2) -> tuple[list[float], int]:
     from pcrawler_spark.plans.training import training_pipeline
     from pcrawler_spark.session import get_spark
 

@@ -101,3 +101,30 @@ def test_minhash_pairs_compose(spark):
     for comp_id in set(by_id.values()):
         members = [i for i, c in by_id.items() if c == comp_id]
         assert min(members) == comp_id
+
+
+def test_star_edges_same_components_as_clique_pairs(spark):
+    """minhash_lsh_star_edges (bucket-min → member) must yield the SAME
+    connected components — and therefore the same canonical docs — as the
+    full per-bucket clique of minhash_lsh_candidates, at O(members)
+    instead of O(members²) edges.  This is the contract that lets the
+    training pipeline swap the quadratic candidate join for star edges."""
+    import os
+
+    from pcrawler_spark.operators.simdedup import (
+        minhash_lsh_candidates, minhash_lsh_star_edges)
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    clique = minhash_lsh_candidates(docs.select("doc_id", "text"))
+    star = minhash_lsh_star_edges(docs.select("doc_id", "text"))
+    # star edges skip the distinct (CC dedups its input); the DISTINCT
+    # edge set is what's linear in bucket size
+    assert star.distinct().count() <= clique.count()
+
+    def comp_map(pairs):
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        return {r["id"]: r["component"] for r in comp.collect()}
+
+    assert comp_map(clique) == comp_map(star)

@@ -287,3 +287,17 @@ def test_xlsx_dir_distributed_read(spark, tmp_path):  # noqa: F811
         for r in xlsx_to_dataframe(spark, str(d / f)).collect():
             drv.add((r["name"], r["n"]))
     assert drv <= rows
+
+
+def test_xlsx_dir_duplicate_headers_raise(spark, tmp_path):
+    """Duplicate header names would silently drop all but the last column
+    under by-name matching — the distributed ingest must refuse instead."""
+    import pytest
+
+    from pcrawler_spark.sources.excel import write_xlsx, xlsx_dir_to_dataframe
+
+    p = tmp_path / "dup.xlsx"
+    write_xlsx(str(p), ["a", "b", "a"], [[1, 2, 3]])
+    df = xlsx_dir_to_dataframe(spark, str(tmp_path), "a string, b string")
+    with pytest.raises(Exception, match="duplicate header"):
+        df.collect()
