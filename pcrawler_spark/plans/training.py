@@ -44,6 +44,12 @@ def training_pipeline(docs: DataFrame, quality_min: int = 450000,
     kept = passed.join(keep, ["fp", id_col], "left_semi")
     if not near_dedup:
         return kept
+    # two consumers read the gated+deduped corpus (the LSH edge generator
+    # and the final anti-join) — persist it so the gate/fingerprint subtree
+    # runs once, spilling to disk rather than recomputing at scale
+    from pyspark import StorageLevel
+
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_star_edges(
         kept.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         n_hashes=n_hashes, band_rows=band_rows,

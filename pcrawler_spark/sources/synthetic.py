@@ -60,6 +60,12 @@ class SyntheticCrawlConfig:
     facebook_rate: float = 0.5      # companies that also have a fb page
     deep_rate: float = 0.3          # emails only on a keyword-linked subpage
     zipf_exponent: float = 1.2
+    # every Nth company's detail page carries an English stopword-rich
+    # "about" paragraph whose extracted text PASSES the production
+    # 450000-ppm quality gate — 0 (default) disables, keeping the checked-in
+    # q32-q34 fixtures byte-stable; entry() opts in so the flagship run
+    # exercises the real gate threshold with a mixed pass/fail corpus
+    en_boilerplate_every: int = 0
 
 
 def _h64(seed: int, tag: str, i: int) -> int:
@@ -218,6 +224,15 @@ def _detail_doc(cfg: SyntheticCrawlConfig, i: int, f: dict, urls: dict) -> _Doc:
     if t == 0:
         d.raw(f'<a href="https://youtube.com/@c{i}">').text("YouTube").raw("</a>")
     d.raw("</div>")
+    if cfg.en_boilerplate_every and i % cfg.en_boilerplate_every == 0:
+        about = (
+            "This is the profile of the company, and it is a part of the "
+            "directory. The team of the company is one of the best of the "
+            "region, and the mission of the group is the growth of the "
+            "value of the work, and the quality of the service is the "
+            "pride of the staff. "
+        ) * 4
+        d.raw("<p>").text(about.strip()).raw("</p>")
     d.raw("</body></html>")
     return d
 
