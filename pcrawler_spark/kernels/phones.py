@@ -92,6 +92,33 @@ INTL_NSN_RULES = {
     "852": re.compile(r"[2-9]\d{7}"),                    # HK: 8 digits
     "886": re.compile(r"[2-9]\d{7,8}"),                  # TW: 8-9 digits
     "971": re.compile(r"5\d{8}|[2-9]\d{7}"),             # AE: mobile 9 / geo 8
+    # r5 extension — 25 more calling codes (54 total), patterns simplified
+    # from libphonenumber's published metadata as before
+    "20": re.compile(r"1[0125]\d{8}|[2-9]\d{6,8}"),      # EG: mobile 10 / geo 8-9
+    "27": re.compile(r"[1-9]\d{8}"),                     # ZA: 9 digits
+    "30": re.compile(r"[26]\d{9}"),                      # GR: geo 2x / mobile 69x
+    "36": re.compile(r"[1-9]\d{7,8}"),                   # HU: 8-9 digits
+    "40": re.compile(r"[237]\d{8}"),                     # RO: 9 digits
+    "45": re.compile(r"[2-9]\d{7}"),                     # DK: 8 digits
+    "51": re.compile(r"9\d{8}|[1-8]\d{7}"),              # PE: mobile 9 / geo 8
+    "54": re.compile(r"9\d{10}|[1-8]\d{9}"),             # AR: +54 9 mobile / geo 10
+    "56": re.compile(r"[2-9]\d{8}"),                     # CL: 9 digits
+    "57": re.compile(r"[36]\d{9}"),                      # CO: mobile 3x / fixed 60x
+    "64": re.compile(r"[2-9]\d{7,9}"),                   # NZ: variable length
+    "90": re.compile(r"[2-5]\d{9}"),                     # TR: 10 digits
+    "92": re.compile(r"[1-9]\d{8,9}"),                   # PK: 9-10 digits
+    "212": re.compile(r"[5-8]\d{8}"),                    # MA: 9 digits
+    "234": re.compile(r"[789]\d{9}|[1-9]\d{6,8}"),       # NG: mobile 10 / geo 7-9
+    "254": re.compile(r"[17]\d{8}|[2-9]\d{6,7}"),        # KE: mobile 9 / geo 7-8
+    "351": re.compile(r"[2369]\d{8}"),                   # PT: 9 digits
+    "353": re.compile(r"[1-9]\d{6,9}"),                  # IE: variable length
+    "358": re.compile(r"[1-9]\d{4,11}"),                 # FI: variable length
+    "380": re.compile(r"[3-9]\d{8}"),                    # UA: 9 digits
+    "420": re.compile(r"[2-9]\d{8}"),                    # CZ: 9 digits
+    "421": re.compile(r"[2-9]\d{8}"),                    # SK: 9 digits
+    "880": re.compile(r"1[3-9]\d{8}|[2-9]\d{5,8}"),      # BD: mobile 10 / geo 6-9
+    "966": re.compile(r"5\d{8}|1\d{7,8}"),               # SA: mobile 9 / geo 8-9
+    "972": re.compile(r"5\d{8}|7\d{8}|[2-489]\d{7}"),    # IL: mobile/VoIP 9 / geo 8
 }
 
 

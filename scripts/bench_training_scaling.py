@@ -103,6 +103,52 @@ def run_level(n_executors: int, runs: int = 2) -> tuple[list[float], int]:
         spark.stop()
 
 
+def _raw_minhash_work(texts) -> int:
+    """The pipeline's dominant kernel with NO Spark: 3-gram shingles, one
+    md5 per shingle, 8 affine minhashes (operators/simdedup.py math,
+    verbatim).  Pure-Python + hashlib — whatever efficiency THIS loses
+    going 4→16 procs is the host's shared-memory/bandwidth ceiling for
+    hash-and-string work, not engine overhead."""
+    import hashlib
+
+    P = 2147483647
+    A = [((s + 1) * 2654435761) % P for s in range(8)]
+    B = [(s * 40503 + 7) % P for s in range(8)]
+    acc = 0
+    for t in texts:
+        words = t.split(" ")
+        n = max(len(words) - 2, 1)
+        mins = [P] * 8
+        seen = set()
+        for i in range(n):
+            sh = " ".join(words[i:i + 3])
+            if sh in seen:
+                continue
+            seen.add(sh)
+            h0 = int(hashlib.md5(sh.encode()).hexdigest()[:8], 16) % P
+            for s in range(8):
+                v = (A[s] * h0 + B[s]) % P
+                if v < mins[s]:
+                    mins[s] = v
+        acc += mins[0]
+    return acc
+
+
+def raw_control(texts, procs: int, reps: int = 2) -> float:
+    import multiprocessing as mp
+
+    k = procs * 8
+    step = (len(texts) + k - 1) // k
+    chunks = [texts[i:i + step] for i in range(0, len(texts), step)]
+    walls = []
+    for _ in range(reps):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            sum(pool.map(_raw_minhash_work, chunks))
+            walls.append(time.time() - t0)
+    return min(walls)
+
+
 def main() -> None:
     from pcrawler_spark.session import get_spark
 
@@ -110,15 +156,26 @@ def main() -> None:
     ensure_corpus(gen)
     gen.stop()
 
-    rounds = []
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(CORPUS, columns=["text"]).column("text").to_pylist()
+
+    # raw control INTERLEAVED per round (the host ceiling drifts with the
+    # same windows the engine samples): engine_vs_ceiling pairs each
+    # round's engine ratio with the same round's raw ratio
+    rounds, raw_rounds = [], []
     lo_all, hi_all = [], []
     for _ in range(2):
         lo, n_out = run_level(1)
+        raw_lo = raw_control(texts, 4)
         hi, _ = run_level(4)
+        raw_hi = raw_control(texts, 16)
         lo_all += lo
         hi_all += hi
         rounds.append(round(min(lo) / (4 * min(hi)), 3))
+        raw_rounds.append(round(raw_lo / (4 * raw_hi), 3))
     eff = sorted(rounds)[len(rounds) // 2]
+    raw_eff = sorted(raw_rounds)[len(raw_rounds) // 2]
     print(json.dumps({
         "job": "training_pipeline (quality->langid->fp-dedup->LSH->CC->canonical)",
         "n_docs": N_DOCS,
@@ -128,6 +185,12 @@ def main() -> None:
         "hi_docs_per_sec": round(N_DOCS / min(hi_all), 1),
         "round_pair_efficiencies": rounds,
         "efficiency": eff,
+        "raw_minhash_ceiling_rounds": raw_rounds,
+        "raw_minhash_ceiling": raw_eff,
+        "engine_vs_ceiling": round(eff / raw_eff, 3) if raw_eff else None,
+        "engine_vs_ceiling_rounds": [
+            round(e / r, 3) for e, r in zip(rounds, raw_rounds)
+        ],
     }))
 
 

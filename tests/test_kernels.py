@@ -311,6 +311,35 @@ def test_vendored_international_phone_metadata():
                   "+97111234567"]    # AE NSN cannot start 1
     for v in invalid_r4:
         assert not is_valid_international(v), v
+    # r5 extension: 25 more vendored calling codes (54 total)
+    valid_r5 = ["+201012345678", "+20223456789",     # EG mobile + Cairo geo
+                "+27821234567", "+302101234567", "+306912345678",
+                "+36301234567", "+40721234567", "+4532123456",
+                "+51987654321", "+5112345678",       # PE mobile + Lima geo
+                "+5491112345678", "+541112345678",   # AR +9 mobile + geo
+                "+56912345678", "+573001234567", "+576012345678",
+                "+64211234567", "+6493456789",       # NZ mobile + Auckland
+                "+905321234567", "+923001234567",
+                "+212612345678", "+2348021234567", "+254712345678",
+                "+351212345678", "+351912345678",    # PT geo + mobile
+                "+35312345678", "+358401234567",
+                "+380671234567", "+420601123456", "+421905123456",
+                "+8801712345678", "+966501234567", "+972501234567",
+                "+97235551234"]                      # IL Tel Aviv geo
+    for v in valid_r5:
+        assert is_valid_international(v), v
+    invalid_r5 = ["+27021234567",    # ZA NSN cannot start 0
+                  "+301912345678",   # GR NSN starts 2 or 6
+                  "+40121234567",    # RO NSN starts 2/3/7
+                  "+45123456789",    # DK is exactly 8 NSN digits
+                  "+571012345678",   # CO NSN starts 3 or 6
+                  "+906321234567",   # TR NSN starts 2-5
+                  "+212912345678",   # MA NSN starts 5-8
+                  "+380271234567",   # UA NSN starts 3-9
+                  "+421105123456",   # SK NSN starts 2-9
+                  "+966601234567"]   # SA NSN starts 5 or 1
+    for v in invalid_r5:
+        assert not is_valid_international(v), v
     # reference control flow: >10-char + numbers are KEPT even when invalid
     assert normalize_phone("+15551234567") == "+15551234567"
     # short + numbers need a genuinely valid NSN
