@@ -19,7 +19,9 @@ def test_ivf_recall_vs_bruteforce(spark):
     """IVF with n_probe=2 over 20 label cells must reach decent recall@5
     against the exact brute-force ranking (the ANN quality contract)."""
     bf = entry_mod.q29_knn_bruteforce(spark, SF_DIR).collect()
-    ivf = entry_mod.q30_knn_ivf(spark, SF_DIR).collect()
+    # r5: q30 carries both index variants — this test pins the label path
+    ivf = (entry_mod.q30_knn_ivf(spark, SF_DIR)
+           .filter(F.col("variant") == "label").collect())
     bf_sets = {}
     for r in bf:
         bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
