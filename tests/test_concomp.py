@@ -31,13 +31,16 @@ def _bfs_components(n_nodes, edges):
     return label
 
 
-def _run(spark, edges):
+def _run(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df)
+    out = connected_components(df, **kw)
     return {r["id"]: r["component"] for r in out.collect()}
 
 
 def test_random_graphs_match_bfs(spark):
+    """Both execution paths — the one-task vectorized finish (default:
+    these graphs are far under the local budget) and the pure distributed
+    star loop (local_finish_edges=0) — must match the BFS oracle."""
     rng = random.Random(7)
     for trial in range(4):
         n = 60 + 40 * trial
@@ -46,20 +49,48 @@ def test_random_graphs_match_bfs(spark):
             for _ in range(int(n * (0.4 + 0.3 * trial)))
         ]
         edges = [(u, v) for u, v in edges if u != v]
-        got = _run(spark, edges)
         want = _bfs_components(n, edges)
-        assert got == want, f"trial {trial}"
+        assert _run(spark, edges) == want, f"trial {trial} (local finish)"
+        assert _run(spark, edges, local_finish_edges=0) == want, \
+            f"trial {trial} (distributed loop)"
 
 
 def test_long_chain_converges_fast(spark):
     """A 400-node path graph has diameter 399 — naive label propagation
     needs ~400 rounds; the star algorithm must finish inside the O(log^2)
-    backstop (this is WHY it's the 100 TB choice)."""
+    backstop (this is WHY it's the 100 TB choice).  local_finish_edges=0
+    forces the distributed loop to run to its fixpoint."""
     edges = [(i, i + 1) for i in range(399)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df, max_iter=12)
+    out = connected_components(df, max_iter=12, local_finish_edges=0)
     rows = out.collect()
     assert len(rows) == 400
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_hybrid_handoff_mid_contraction(spark):
+    """local_finish_edges BETWEEN the initial and fixpoint edge counts:
+    some star rounds run, then the one-task finish takes over a partially
+    contracted graph — the labels must still be the original components'
+    min ids (the node-set-preservation invariant the hand-off relies on)."""
+    rng = random.Random(11)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _bfs_components(n, edges)
+    # thresholds sweeping the contraction: hand-off after 0, 2, 4... rounds
+    for thresh in (200, 120, 60, 10):
+        assert _run(spark, edges, local_finish_edges=thresh) == want, thresh
+
+
+def test_long_chain_local_finish(spark):
+    """The numpy finish's pointer jumping must handle a high-diameter
+    graph in O(log) passes (no Spark rounds at all at this size)."""
+    edges = [(i, i + 1) for i in range(2999)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    rows = out.collect()
+    assert len(rows) == 3000
     assert {r["component"] for r in rows} == {0}
 
 
