@@ -192,25 +192,33 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes); hitting the cap raises rather than silently returning partial
     clusters.
 
-    ``local_finish_edges``: once the (distinct) edge set is at or below
-    this size, the remaining contraction runs as ONE vectorized task
-    instead of more driver-paced star rounds (module docstring: the
-    two-phase finish).  Pass 0 to force the pure distributed loop (tests
-    exercising star-round convergence do this).
+    ``local_finish_edges``: once the edge set is at or below this size,
+    the remaining contraction runs as ONE vectorized task instead of more
+    driver-paced star rounds (module docstring: the two-phase finish).
+    The FIRST budget check counts the raw (pre-distinct) edge list —
+    raw ≥ distinct, so a raw count under budget is a conservative, always-
+    correct hand-off decision that skips the distinct's full shuffle AND
+    the star loop's separate signature job (the numpy finish is invariant
+    to duplicate/self-loop edges); only a graph too big for one task pays
+    for distinct + per-round signatures.  Pass 0 to force the pure
+    distributed loop (tests exercising star-round convergence do this).
     """
-    e = (
+    e_raw = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
     )
+    # lazy checkpoints: the counting action materializes them — no
+    # dedicated materialization job
+    e_raw = e_raw.localCheckpoint(eager=False)
+    if e_raw.count() <= local_finish_edges:
+        return _local_cc_labels(e_raw).select(F.col("u").alias("id"), "component")
+
+    e = e_raw.distinct()
     if num_partitions:
         e = e.repartition(num_partitions, "u")
-
-    # lazy checkpoints: the signature collect is the action that
-    # materializes them — no dedicated materialization job per round
     e = e.localCheckpoint(eager=False)
     sig = _signature(e)
     at_fixpoint = False

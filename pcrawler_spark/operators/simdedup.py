@@ -215,19 +215,25 @@ def minhash_lsh_star_edges(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
     10^4-member bucket (a boilerplate family) is 10^4 star edges, not
     5·10^7 pair rows — and the quadratic clique materialization (plus its
     full-width distinct) was the measured wall-clock tail of the 240k-doc
-    training run.  The per-bucket min comes from a groupBy on the band
-    key, so the bucket join reuses the aggregation's exchange (no second
-    shuffle); no distinct is needed because connected_components
+    training run.  The per-bucket min is a WINDOW min over the band key:
+    one exchange + one sorted pass emits every (bucket-min, member) edge —
+    the groupBy-min + join-back equivalent pays a hash aggregation plus a
+    sort-merge join on top of the same exchange (measured slower at both
+    1×4 and 4×4 on the 240k-doc run).  A per-bucket window buffers only
+    one bucket's rows at a time (bounded by the LSH band-bucket size, not
+    the corpus).  No distinct is needed because connected_components
     deduplicates its input edge list.
 
     Use :func:`minhash_lsh_candidates` when the PAIRS themselves are the
     product (verification, scoring, reporting); use this when the pairs
     only feed a clustering."""
+    from pyspark.sql.window import Window
+
     bands = minhash_bands(df, n_hashes, band_rows, id_col, text_col, n)
     keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
-    roots = bands.groupBy(*keys).agg(F.min("doc").alias("_root"))
+    w = Window.partitionBy(*keys)
     return (
-        bands.join(roots, keys)
+        bands.withColumn("_root", F.min("doc").over(w))
         .where(F.col("doc") != F.col("_root"))
         .select(F.col("_root").alias("doc_a"), F.col("doc").alias("doc_b"))
     )

@@ -7,8 +7,9 @@ Stage order (each an already-oracled operator, all groupBy/band-join shapes
 1. annotate: fingerprint + quality floor-ppm score + lang ID + token count
    (operators/textstats.py — single projection pass, JVM-side);
 2. quality gate: ``quality_ppm >= quality_min``;
-3. exact dedup: keep the min doc_id per normalized-text fingerprint
-   (groupBy + left-semi — the partial-agg shape, not a window sort);
+3. exact dedup: keep the min-doc_id ROW per normalized-text fingerprint
+   (ONE ``min_by``-struct aggregation — one shuffle of the gated corpus,
+   where the groupBy + left-semi-join shape shuffles it twice);
 4. near-dup canonical (optional): MinHash-LSH STAR edges (bucket-min →
    member: same transitive closure as the full per-bucket clique at
    O(members) instead of O(members²) edges — see
@@ -40,8 +41,19 @@ def training_pipeline(docs: DataFrame, quality_min: int = 450000,
     ann = token_count(lang_id(quality_score(fingerprint(docs, text_col), text_col),
                               text_col), text_col)
     passed = ann.filter(F.col("quality_ppm") >= quality_min)
-    keep = passed.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    kept = passed.join(keep, ["fp", id_col], "left_semi")
+    # min_by keeps the whole min-id row in the SAME aggregation that finds
+    # the min — one shuffle, map-side partial agg.  (The groupBy-min +
+    # left-semi equivalent shuffles the gated corpus twice and was the
+    # measured serial tail of the N-vs-4N scaling run.)  Ids are assumed
+    # unique per row: on a duplicated id this keeps one row where the
+    # semi-join shape kept every row tied at the min.
+    others = [c for c in passed.columns if c != "fp"]
+    kept = (
+        passed.groupBy("fp")
+        .agg(F.min_by(F.struct(*others), F.col(id_col)).alias("_r"))
+        .select(*(F.col("fp") if c == "fp" else F.col(f"_r.{c}")
+                  for c in passed.columns))
+    )
     if not near_dedup:
         return kept
     # two consumers read the gated+deduped corpus (the LSH edge generator
