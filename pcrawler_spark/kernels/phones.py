@@ -119,6 +119,42 @@ INTL_NSN_RULES = {
     "880": re.compile(r"1[3-9]\d{8}|[2-9]\d{5,8}"),      # BD: mobile 10 / geo 6-9
     "966": re.compile(r"5\d{8}|1\d{7,8}"),               # SA: mobile 9 / geo 8-9
     "972": re.compile(r"5\d{8}|7\d{8}|[2-489]\d{7}"),    # IL: mobile/VoIP 9 / geo 8
+    # r5b extension — 32 more calling codes (88 total; +84 VN is handled by the exact VN rules above), patterns simplified
+    # from libphonenumber's published metadata as before
+    "93": re.compile(r"[2-7]\d{8}"),                     # AF: 9 digits
+    "94": re.compile(r"[1-9]\d{8}"),                     # LK: 9 digits
+    "95": re.compile(r"[1-9]\d{5,9}"),                   # MM: variable length
+    "98": re.compile(r"[1-9]\d{9}"),                     # IR: 10 digits
+    "213": re.compile(r"[5-7]\d{8}|[1-49]\d{7}"),        # DZ: mobile 9 / geo 8
+    "216": re.compile(r"[2-9]\d{7}"),                    # TN: 8 digits
+    "221": re.compile(r"[37]\d{8}"),                     # SN: 9 digits
+    "233": re.compile(r"[2-9]\d{8}"),                    # GH: 9 digits
+    "255": re.compile(r"[1-9]\d{8}"),                    # TZ: 9 digits
+    "256": re.compile(r"[1-9]\d{8}"),                    # UG: 9 digits
+    "355": re.compile(r"[2-9]\d{7,8}"),                  # AL: 8-9 digits
+    "359": re.compile(r"[1-9]\d{7,8}"),                  # BG: 8-9 digits
+    "370": re.compile(r"[3-9]\d{7}"),                    # LT: 8 digits
+    "371": re.compile(r"[2-7]\d{7}"),                    # LV: 8 digits
+    "372": re.compile(r"[3-9]\d{6,7}"),                  # EE: 7-8 digits
+    "375": re.compile(r"[1-9]\d{8}"),                    # BY: 9 digits
+    "381": re.compile(r"[1-9]\d{7,8}"),                  # RS: 8-9 digits
+    "385": re.compile(r"[1-9]\d{7,8}"),                  # HR: 8-9 digits
+    "386": re.compile(r"[1-9]\d{7}"),                    # SI: 8 digits
+    "853": re.compile(r"[68]\d{7}"),                     # MO: 8 digits
+    "855": re.compile(r"[1-9]\d{7,8}"),                  # KH: 8-9 digits
+    "856": re.compile(r"[2-8]\d{7,9}"),                  # LA: 8-10 digits
+    "961": re.compile(r"[1-9]\d{6,7}"),                  # LB: 7-8 digits
+    "962": re.compile(r"7[789]\d{7}|[2-6]\d{7}"),        # JO: mobile 9 / geo 8
+    "964": re.compile(r"7\d{9}|[1-6]\d{7,8}"),           # IQ: mobile 10 / geo 8-9
+    "965": re.compile(r"[12569]\d{7}"),                  # KW: 8 digits
+    "968": re.compile(r"[279]\d{7}"),                    # OM: 8 digits
+    "973": re.compile(r"[13689]\d{7}"),                  # BH: 8 digits
+    "974": re.compile(r"[2-7]\d{7}"),                    # QA: 8 digits
+    "976": re.compile(r"[1-9]\d{7}"),                    # MN: 8 digits
+    "977": re.compile(r"9[678]\d{8}|[1-8]\d{6,7}"),      # NP: mobile 10 / geo 7-8
+    "994": re.compile(r"[1-9]\d{8}"),                    # AZ: 9 digits
+    "995": re.compile(r"[2-9]\d{8}"),                    # GE: 9 digits
+    "998": re.compile(r"[1-9]\d{8}"),                    # UZ: 9 digits
 }
 
 

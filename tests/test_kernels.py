@@ -340,10 +340,35 @@ def test_vendored_international_phone_metadata():
                   "+966601234567"]   # SA NSN starts 5 or 1
     for v in invalid_r5:
         assert not is_valid_international(v), v
+    # r5b extension: 32 more vendored calling codes (88 total)
+    valid_r5b = ["+93701234567", "+94712345678", "+959123456789",
+                 "+989123456789", "+213551234567", "+21671234567",
+                 "+221771234567", "+233241234567", "+255712345678",
+                 "+256701234567", "+355691234567", "+359881234567",
+                 "+37061234567", "+37121234567", "+37251234567",
+                 "+375291234567", "+381641234567", "+385911234567",
+                 "+38631234567", "+85366123456", "+85512345678",
+                 "+8562012345678", "+9613123456", "+962791234567",
+                 "+9647912345678", "+96550123456", "+96891234567",
+                 "+97336123456", "+97455123456", "+97688123456",
+                 "+9779812345678", "+994501234567", "+995551234567",
+                 "+998901234567"]
+    for v in valid_r5b:
+        assert is_valid_international(v), v
+    invalid_r5b = ["+93101234567",    # AF NSN starts 2-7
+                   "+213912345678",   # DZ 9-digit NSN starts 5-7
+                   "+37001234567",    # LT NSN starts 3-9
+                   "+853121234567",   # MO is exactly 8 NSN digits
+                   "+96531234567",    # KW NSN starts 1/2/5/6/9
+                   "+96811234567",    # OM NSN starts 2/7/9
+                   "+97411234567",    # QA NSN starts 2-7
+                   "+99501234567"]    # GE NSN starts 2-9
+    for v in invalid_r5b:
+        assert not is_valid_international(v), v
     # reference control flow: >10-char + numbers are KEPT even when invalid
     assert normalize_phone("+15551234567") == "+15551234567"
     # short + numbers need a genuinely valid NSN
     assert normalize_phone("+65912345") is None
-    assert normalize_phone("+987654321") is None
+    assert normalize_phone("+987654321") is None   # IR cc, 7-digit NSN → invalid
     # bare long digits are promoted to + and kept
     assert normalize_phone("8613812345678") == "+8613812345678"
