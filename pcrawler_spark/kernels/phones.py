@@ -155,6 +155,81 @@ INTL_NSN_RULES = {
     "994": re.compile(r"[1-9]\d{8}"),                    # AZ: 9 digits
     "995": re.compile(r"[2-9]\d{8}"),                    # GE: 9 digits
     "998": re.compile(r"[1-9]\d{8}"),                    # UZ: 9 digits
+    # r5c extension — 60 more calling codes (148 total), patterns simplified
+    # from libphonenumber's published metadata as before
+    "53": re.compile(r"5\d{7}|[2-4]\d{5,7}"),            # CU: mobile 8 / geo 6-8
+    "58": re.compile(r"[24]\d{9}"),                      # VE: 10 digits (geo 2xx / mobile 4xx)
+    "211": re.compile(r"[19]\d{8}"),                     # SS: 9 digits
+    "218": re.compile(r"9\d{8}|[1-8]\d{6,7}"),           # LY: mobile 9 / geo 7-8
+    "220": re.compile(r"[2-9]\d{6}"),                    # GM: 7 digits
+    "222": re.compile(r"[2-4]\d{7}"),                    # MR: 8 digits
+    "223": re.compile(r"[2-9]\d{7}"),                    # ML: 8 digits
+    "224": re.compile(r"6\d{8}|[3-9]\d{7}"),             # GN: mobile 9 / geo 8
+    "226": re.compile(r"[025-7]\d{7}"),                  # BF: 8 digits
+    "227": re.compile(r"[0289]\d{7}"),                   # NE: 8 digits
+    "228": re.compile(r"[279]\d{7}"),                    # TG: 8 digits
+    "230": re.compile(r"[2-9]\d{6,7}"),                  # MU: 7-8 digits
+    "231": re.compile(r"[2-9]\d{6,8}"),                  # LR: 7-9 digits
+    "232": re.compile(r"[2-9]\d{7}"),                    # SL: 8 digits
+    "235": re.compile(r"[2679]\d{7}"),                   # TD: 8 digits
+    "236": re.compile(r"[278]\d{7}"),                    # CF: 8 digits
+    "237": re.compile(r"[26]\d{8}"),                     # CM: 9 digits (mobile 6 / geo 2)
+    "238": re.compile(r"[2359]\d{6}"),                   # CV: 7 digits
+    "243": re.compile(r"[1-9]\d{8}"),                    # CD: 9 digits
+    "244": re.compile(r"[29]\d{8}"),                     # AO: 9 digits
+    "248": re.compile(r"[24]\d{6}"),                     # SC: 7 digits
+    "249": re.compile(r"[19]\d{8}"),                     # SD: 9 digits
+    "250": re.compile(r"[27]\d{8}"),                     # RW: 9 digits
+    "251": re.compile(r"[1-59]\d{8}"),                   # ET: 9 digits
+    "253": re.compile(r"[27]\d{7}"),                     # DJ: 8 digits
+    "257": re.compile(r"[2-8]\d{7}"),                    # BI: 8 digits
+    "258": re.compile(r"8\d{8}|2\d{7}"),                 # MZ: mobile 9 / geo 8
+    "260": re.compile(r"[279]\d{8}"),                    # ZM: 9 digits
+    "261": re.compile(r"[23]\d{8}"),                     # MG: 9 digits
+    "263": re.compile(r"7\d{8}|[2-6]\d{5,9}"),           # ZW: mobile 9 / geo variable
+    "264": re.compile(r"[68]\d{7,8}"),                   # NA: geo 8 / mobile 9
+    "265": re.compile(r"[89]\d{8}|1\d{6}"),              # MW: mobile 9 / geo 7
+    "266": re.compile(r"[2568]\d{7}"),                   # LS: 8 digits
+    "267": re.compile(r"7\d{7}|[2-6]\d{6}"),             # BW: mobile 8 / geo 7
+    "268": re.compile(r"[237]\d{7}"),                    # SZ: 8 digits
+    "291": re.compile(r"[178]\d{6}"),                    # ER: 7 digits
+    "350": re.compile(r"[256]\d{7}"),                    # GI: 8 digits
+    "352": re.compile(r"[2-9]\d{3,10}"),                 # LU: variable length
+    "354": re.compile(r"[4-8]\d{6}"),                    # IS: 7 digits
+    "356": re.compile(r"[2579]\d{7}"),                   # MT: 8 digits
+    "357": re.compile(r"[29]\d{7}"),                     # CY: 8 digits
+    "373": re.compile(r"[267]\d{7}"),                    # MD: 8 digits
+    "374": re.compile(r"[1-9]\d{7}"),                    # AM: 8 digits
+    "376": re.compile(r"[3-8]\d{5,8}"),                  # AD: 6-9 digits
+    "377": re.compile(r"[469]\d{7,8}"),                  # MC: 8-9 digits
+    "382": re.compile(r"[2-9]\d{7,8}"),                  # ME: 8-9 digits
+    "383": re.compile(r"[2-9]\d{7}"),                    # XK: 8 digits
+    "387": re.compile(r"[3-6]\d{7}"),                    # BA: 8 digits
+    "389": re.compile(r"[2-7]\d{7}"),                    # MK: 8 digits
+    "423": re.compile(r"[2-7]\d{6}"),                    # LI: 7 digits
+    "502": re.compile(r"[2-7]\d{7}"),                    # GT: 8 digits
+    "503": re.compile(r"[267]\d{7}"),                    # SV: 8 digits
+    "504": re.compile(r"[2389]\d{7}"),                   # HN: 8 digits
+    "505": re.compile(r"[258]\d{7}"),                    # NI: 8 digits
+    "506": re.compile(r"[2468]\d{7}"),                   # CR: 8 digits
+    "507": re.compile(r"6\d{7}|[2-9]\d{6}"),             # PA: mobile 8 / geo 7
+    "509": re.compile(r"[2-9]\d{7}"),                    # HT: 8 digits
+    "591": re.compile(r"[2-7]\d{7}"),                    # BO: 8 digits
+    "593": re.compile(r"9\d{8}|[2-7]\d{6,7}"),           # EC: mobile 9 / geo 7-8
+    "595": re.compile(r"9\d{8}|[2-8]\d{7,8}"),           # PY: mobile 9 / geo 8-9
+    "598": re.compile(r"[249]\d{7}"),                    # UY: 8 digits
+    "670": re.compile(r"7\d{7}|[23]\d{6}"),              # TL: mobile 8 / geo 7
+    "673": re.compile(r"[2-8]\d{6}"),                    # BN: 7 digits
+    "675": re.compile(r"[2-9]\d{6,7}"),                  # PG: 7-8 digits
+    "679": re.compile(r"[2-9]\d{6}"),                    # FJ: 7 digits
+    "960": re.compile(r"[3679]\d{6}"),                   # MV: 7 digits
+    "963": re.compile(r"9\d{8}|[1-5]\d{7,8}"),           # SY: mobile 9 / geo 8-9
+    "967": re.compile(r"7\d{8}|[1-6]\d{6,7}"),           # YE: mobile 9 / geo 7-8
+    "970": re.compile(r"5\d{8}|[2-9]\d{7}"),             # PS: mobile 9 / geo 8
+    "975": re.compile(r"[1-8]\d{6,7}"),                  # BT: 7-8 digits
+    "992": re.compile(r"[1-9]\d{8}"),                    # TJ: 9 digits
+    "993": re.compile(r"[1-8]\d{7}"),                    # TM: 8 digits
+    "996": re.compile(r"[3-9]\d{8}"),                    # KG: 9 digits
 }
 
 

@@ -365,6 +365,64 @@ def test_vendored_international_phone_metadata():
                    "+99501234567"]    # GE NSN starts 2-9
     for v in invalid_r5b:
         assert not is_valid_international(v), v
+    # r5c extension: 60 more vendored calling codes (148 total)
+    valid_r5c = ["+5351234567",       # CU mobile (8-digit NSN, leading 5)
+                 "+584121234567",     # VE mobile
+                 "+211912345678",     # SS
+                 "+218912345678",     # LY mobile
+                 "+23056123456",      # MU 8-digit
+                 "+237670123456",     # CM mobile
+                 "+243991234567",     # CD
+                 "+244923123456",     # AO mobile
+                 "+250781234567",     # RW mobile
+                 "+251911234567",     # ET mobile
+                 "+258821234567",     # MZ mobile
+                 "+260971234567",     # ZM mobile
+                 "+263771234567",     # ZW mobile
+                 "+26776123456",      # BW mobile
+                 "+352621123456",     # LU mobile
+                 "+3546101234",       # IS
+                 "+35699123456",      # MT mobile
+                 "+35799123456",      # CY mobile
+                 "+37369123456",      # MD mobile
+                 "+37455123456",      # AM mobile
+                 "+38267123456",      # ME mobile
+                 "+38344123456",      # XK mobile
+                 "+38761123456",      # BA mobile
+                 "+38970123456",      # MK mobile
+                 "+50251234567",      # GT mobile
+                 "+50370123456",      # SV mobile
+                 "+50498765432",      # HN mobile
+                 "+50588123456",      # NI mobile
+                 "+50687123456",      # CR mobile
+                 "+50769876543",      # PA mobile
+                 "+50934123456",      # HT mobile
+                 "+59171234567",      # BO mobile
+                 "+593991234567",     # EC mobile
+                 "+595971123456",     # PY mobile
+                 "+59894123456",      # UY mobile
+                 "+67077234567",      # TL mobile
+                 "+6737123456",       # BN
+                 "+6799912345",       # FJ mobile
+                 "+9607712345",       # MV mobile
+                 "+963944567890",     # SY mobile
+                 "+967712345678",     # YE mobile
+                 "+970599123456",     # PS mobile
+                 "+97517123456",      # BT mobile
+                 "+992931234567",     # TJ
+                 "+99365123456",      # TM
+                 "+996700123456"]     # KG
+    for v in valid_r5c:
+        assert is_valid_international(v), v
+    invalid_r5c = ["+96011234567",    # MV NSN starts 3/6/7/9
+                   "+50712345678",    # PA 8-digit NSN must start 6
+                   "+59811234567",    # UY NSN starts 2/4/9
+                   "+25411112222333", # KE pattern bound (too long)
+                   "+5312345",        # CU below the E.164 8-digit floor
+                   "+99610123456",    # KG NSN starts 3-9
+                   "+58312345678"]    # VE NSN starts 2/4
+    for v in invalid_r5c:
+        assert not is_valid_international(v), v
     # reference control flow: >10-char + numbers are KEPT even when invalid
     assert normalize_phone("+15551234567") == "+15551234567"
     # short + numbers need a genuinely valid NSN
