@@ -139,7 +139,10 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9, n_bits: int = 16
             ),
         )
         mat = _hyperplane_matrix(n_bits, dim)
-        wcols = [F.array(*[F.lit(x) for x in row]) for row in mat]
+        # ONE py4j call per row (array literal from a Python list), not one
+        # per ELEMENT: the n_bits × dim F.lit storm was the dominant cost
+        # of building this plan (16×64 = 1024 driver round-trips)
+        wcols = [F.lit([float(x) for x in row]) for row in mat]
 
         def sign_for(s: int):
             dot = F.aggregate(
@@ -208,7 +211,7 @@ def _maxmin_init(e: DataFrame, n_cells: int, round_dp: int = 6) -> list:
     seeds = [first]
     state = e.withColumn("_maxcos", F.lit(-1.0))
     for i in range(n_cells - 1):
-        newest = F.array(*[F.lit(float(x)) for x in seeds[-1]["v"]])
+        newest = F.lit([float(x) for x in seeds[-1]["v"]])
         state = state.withColumn(
             "_maxcos",
             F.greatest(
@@ -748,8 +751,8 @@ def _sq8_bounds_arrays(bounds: DataFrame):
     vmin = [r[1] for r in rows]
     scale = [max((r[2] - r[1]) / 255.0, 1e-30) for r in rows]
     return (
-        F.array(*[F.lit(float(x)) for x in vmin]),
-        F.array(*[F.lit(float(x)) for x in scale]),
+        F.lit([float(x) for x in vmin]),
+        F.lit([float(x) for x in scale]),
     )
 
 
