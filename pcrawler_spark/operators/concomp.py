@@ -132,6 +132,70 @@ def _signature(e: DataFrame):
     return row["n"], row["h"]
 
 
+def _np_min_labels(u, v):
+    """Vectorized min-label propagation with pointer jumping over an edge
+    list (int64 numpy arrays): returns (ids, lab) where ``ids`` is the
+    sorted unique node array and ``ids[lab]`` each node's component min id.
+    Sorted-once adjacency + buffered ``np.minimum.reduceat`` segment mins
+    (module docstring of :func:`_local_cc_labels`)."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
+    a = inv[: u.size]
+    b_ = inv[u.size:]
+    keys = np.concatenate((a, b_))
+    others = np.concatenate((b_, a))
+    order = np.argsort(keys, kind="stable")
+    adj = others[order]
+    ks = keys[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    lab = np.arange(ids.size, dtype=np.int64)
+    while True:
+        prev = lab
+        lab = np.minimum(lab, np.minimum.reduceat(lab[adj], starts))
+        lab = lab[lab]
+        if np.array_equal(lab, prev):
+            break
+    return ids, lab
+
+
+def _partition_star_forest(e: DataFrame) -> DataFrame:
+    """PARALLEL per-partition contraction (the 'filtering' step of
+    two-level MapReduce CC): each partition's edge subset is replaced by
+    its spanning star forest — one (node → partition-local min label) edge
+    per non-root node.  Replacing any edge subset by a spanning forest
+    over the same nodes preserves global connectivity, and every node of a
+    partition survives (roots appear as the dst of their members' edges;
+    every local component has ≥2 nodes because nodes only enter via
+    edges), so downstream min-label propagation still covers the original
+    node set.
+
+    Scale shape: zero shuffle — a mapInPandas over whatever partitioning
+    the edges already have.  Output is ≤ unique-nodes-per-partition rows,
+    typically several× smaller than the raw edge list (band-structured
+    near-dup graphs repeat pairs across bands), which is what makes the
+    ONE-task finish cheap: the serial tail becomes O(nodes), not O(edges),
+    and the contraction itself scales with executors."""
+
+    def contract(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(dtype=np.int64))
+            vs.append(b["v"].to_numpy(dtype=np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        ids, lab = _np_min_labels(u, v)
+        keep = lab != np.arange(ids.size)
+        yield pd.DataFrame({"u": ids[keep], "v": ids[lab][keep]})
+
+    return e.mapInPandas(contract, "u long, v long")
+
+
 def _local_cc_labels(e: DataFrame) -> DataFrame:
     """ONE-task finish for a contracted graph that fits a task budget:
     vectorized min-label propagation with pointer jumping (Shiloach/
@@ -161,29 +225,7 @@ def _local_cc_labels(e: DataFrame) -> DataFrame:
         v = np.concatenate(vs)
         # ids sorted ascending => min index <=> min id, so index-space
         # labels translate back to min-id-per-component via ids[lab]
-        ids, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
-        a = inv[: u.size]
-        b_ = inv[u.size:]
-        # one-time sorted adjacency: key = endpoint, value = the OTHER
-        # endpoint.  Every node index 0..n-1 appears as a key (each edge
-        # contributes both directions), so reduceat's segment mins align
-        # 1:1 with node indices — no gather-back needed.
-        keys = np.concatenate((a, b_))
-        others = np.concatenate((b_, a))
-        order = np.argsort(keys, kind="stable")
-        adj = others[order]
-        ks = keys[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        lab = np.arange(ids.size, dtype=np.int64)
-        while True:
-            prev = lab
-            # per-node min over neighbor labels (buffered segment min)
-            lab = np.minimum(lab, np.minimum.reduceat(lab[adj], starts))
-            # pointer jumping: lab[i] <= i always (mins only decrease
-            # entries), so this halves tree depth per pass
-            lab = lab[lab]
-            if np.array_equal(lab, prev):
-                break
+        ids, lab = _np_min_labels(u, v)
         yield pd.DataFrame({"u": ids, "component": ids[lab]})
 
     # coalesce, not repartition: one task reads the (already small)
@@ -206,6 +248,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``local_finish_edges``: once the edge set is at or below this size,
     the remaining contraction runs as ONE vectorized task instead of more
     driver-paced star rounds (module docstring: the two-phase finish).
+    Large edge sets first pass through a PARALLEL per-partition spanning-
+    forest contraction (:func:`_partition_star_forest`) — shuffle-free,
+    scales with executors — so the one-task finish (and any star rounds
+    that remain) see O(nodes) star edges, not the raw O(edges) list.
     The FIRST budget check counts the raw (pre-distinct) edge list —
     raw ≥ distinct, so a raw count under budget is a conservative, always-
     correct hand-off decision that skips the distinct's full shuffle AND
@@ -224,10 +270,32 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # lazy checkpoints: the counting action materializes them — no
     # dedicated materialization job
     e_raw = e_raw.localCheckpoint(eager=False)
-    if e_raw.count() <= local_finish_edges:
+    n_raw = e_raw.count()
+    if n_raw <= local_finish_edges:
+        if n_raw > local_finish_edges // 8:
+            # big-but-fits: one PARALLEL per-partition contraction first,
+            # so the one-task finish fetches star forests (O(nodes)) from
+            # the other executors instead of the raw edge list (O(edges))
+            # — this is the serial tail that caps weak scaling, and the
+            # contraction pass scales with executors.  Below budget/8 the
+            # extra job costs more than the fetch it saves.
+            e_raw = _partition_star_forest(e_raw).localCheckpoint(eager=False)
         return _local_cc_labels(e_raw).select(F.col("u").alias("id"), "component")
 
-    e = e_raw.distinct()
+    # over budget: contract in parallel BEFORE any driver-paced star round
+    # — near-dup edge lists repeat pairs across LSH bands, so one shuffle-
+    # free pass typically replaces several O(log n) star rounds.  Skipped
+    # when the caller forced the pure loop (local_finish_edges=0), which
+    # tests use to exercise star-round convergence itself.
+    e_c = e_raw
+    if local_finish_edges > 0:
+        e_c = _partition_star_forest(e_raw).localCheckpoint(eager=False)
+        if e_c.count() <= local_finish_edges:
+            return _local_cc_labels(e_c).select(
+                F.col("u").alias("id"), "component"
+            )
+
+    e = e_c.distinct()
     if num_partitions:
         e = e.repartition(num_partitions, "u")
     e = e.localCheckpoint(eager=False)
