@@ -159,43 +159,6 @@ def _np_min_labels(u, v):
     return ids, lab
 
 
-def _partition_star_forest(e: DataFrame) -> DataFrame:
-    """PARALLEL per-partition contraction (the 'filtering' step of
-    two-level MapReduce CC): each partition's edge subset is replaced by
-    its spanning star forest — one (node → partition-local min label) edge
-    per non-root node.  Replacing any edge subset by a spanning forest
-    over the same nodes preserves global connectivity, and every node of a
-    partition survives (roots appear as the dst of their members' edges;
-    every local component has ≥2 nodes because nodes only enter via
-    edges), so downstream min-label propagation still covers the original
-    node set.
-
-    Scale shape: zero shuffle — a mapInPandas over whatever partitioning
-    the edges already have.  Output is ≤ unique-nodes-per-partition rows,
-    typically several× smaller than the raw edge list (band-structured
-    near-dup graphs repeat pairs across bands), which is what makes the
-    ONE-task finish cheap: the serial tail becomes O(nodes), not O(edges),
-    and the contraction itself scales with executors."""
-
-    def contract(batches):
-        import numpy as np
-        import pandas as pd
-
-        us, vs = [], []
-        for b in batches:
-            us.append(b["u"].to_numpy(dtype=np.int64))
-            vs.append(b["v"].to_numpy(dtype=np.int64))
-        if not us:
-            return
-        u = np.concatenate(us)
-        v = np.concatenate(vs)
-        ids, lab = _np_min_labels(u, v)
-        keep = lab != np.arange(ids.size)
-        yield pd.DataFrame({"u": ids[keep], "v": ids[lab][keep]})
-
-    return e.mapInPandas(contract, "u long, v long")
-
-
 def _local_cc_labels(e: DataFrame) -> DataFrame:
     """ONE-task finish for a contracted graph that fits a task budget:
     vectorized min-label propagation with pointer jumping (Shiloach/
@@ -248,10 +211,6 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``local_finish_edges``: once the edge set is at or below this size,
     the remaining contraction runs as ONE vectorized task instead of more
     driver-paced star rounds (module docstring: the two-phase finish).
-    Large edge sets first pass through a PARALLEL per-partition spanning-
-    forest contraction (:func:`_partition_star_forest`) — shuffle-free,
-    scales with executors — so the one-task finish (and any star rounds
-    that remain) see O(nodes) star edges, not the raw O(edges) list.
     The FIRST budget check counts the raw (pre-distinct) edge list —
     raw ≥ distinct, so a raw count under budget is a conservative, always-
     correct hand-off decision that skips the distinct's full shuffle AND
@@ -268,34 +227,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
     )
     # lazy checkpoints: the counting action materializes them — no
-    # dedicated materialization job
+    # dedicated materialization job.  (A parallel per-partition numpy
+    # contraction pass was measured here and REJECTED: on 1.2M-6M-edge
+    # banded graphs at 4×4 local-cluster the Arrow round-trip costs 2-3×
+    # more than the JVM-side distinct + one-task fetch it would save —
+    # BENCH_NOTES.md "negative results".)
     e_raw = e_raw.localCheckpoint(eager=False)
-    n_raw = e_raw.count()
-    if n_raw <= local_finish_edges:
-        if n_raw > local_finish_edges // 8:
-            # big-but-fits: one PARALLEL per-partition contraction first,
-            # so the one-task finish fetches star forests (O(nodes)) from
-            # the other executors instead of the raw edge list (O(edges))
-            # — this is the serial tail that caps weak scaling, and the
-            # contraction pass scales with executors.  Below budget/8 the
-            # extra job costs more than the fetch it saves.
-            e_raw = _partition_star_forest(e_raw).localCheckpoint(eager=False)
+    if e_raw.count() <= local_finish_edges:
         return _local_cc_labels(e_raw).select(F.col("u").alias("id"), "component")
 
-    # over budget: contract in parallel BEFORE any driver-paced star round
-    # — near-dup edge lists repeat pairs across LSH bands, so one shuffle-
-    # free pass typically replaces several O(log n) star rounds.  Skipped
-    # when the caller forced the pure loop (local_finish_edges=0), which
-    # tests use to exercise star-round convergence itself.
-    e_c = e_raw
-    if local_finish_edges > 0:
-        e_c = _partition_star_forest(e_raw).localCheckpoint(eager=False)
-        if e_c.count() <= local_finish_edges:
-            return _local_cc_labels(e_c).select(
-                F.col("u").alias("id"), "component"
-            )
-
-    e = e_c.distinct()
+    e = e_raw.distinct()
     if num_partitions:
         e = e.repartition(num_partitions, "u")
     e = e.localCheckpoint(eager=False)

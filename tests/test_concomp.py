@@ -94,48 +94,19 @@ def test_long_chain_local_finish(spark):
     assert {r["component"] for r in rows} == {0}
 
 
-def test_partition_forest_contraction_matches_bfs(spark):
-    """The parallel per-partition spanning-forest contraction (engaged when
-    the edge list is big-but-under-budget, or before star rounds when over
-    budget) must preserve components across ANY partitioning of the edges:
-    components that span partitions are stitched by shared node ids."""
+def test_multi_partition_edges_match_bfs(spark):
+    """Components spanning many edge partitions must stitch correctly on
+    both execution paths (the finish task gathers all partitions)."""
     rng = random.Random(23)
     n = 500
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(700)]
     edges = [(u, v) for u, v in edges if u != v]
     want = _bfs_components(n, edges)
     df = spark.createDataFrame(edges, "src long, dst long").repartition(8)
-    # budget just above the edge count with n_raw > budget//8: the
-    # contract-then-one-task-finish path
     out = connected_components(df, local_finish_edges=len(edges) + 1)
     assert {r["id"]: r["component"] for r in out.collect()} == want
-    # budget BELOW the edge count: contraction runs before the star loop
-    # (the random graph contracts under budget in one pass, finishing
-    # without any driver-paced round)
     out2 = connected_components(df, local_finish_edges=max(1, len(edges) // 4))
     assert {r["id"]: r["component"] for r in out2.collect()} == want
-
-
-def test_partition_forest_shrinks_banded_duplicates(spark):
-    """The contraction's purpose at scale: LSH band edges repeat pairs —
-    the star forest emits at most one edge per non-root node per
-    partition, so the serial finish reads O(nodes) rows."""
-    from pcrawler_spark.operators.concomp import _partition_star_forest
-
-    # 4 bands × the same 1000-node chain = 4× duplicated edges
-    edges = [(i, i + 1) for i in range(999)] * 4
-    df = spark.createDataFrame(edges, "u long, v long").coalesce(2)
-    forest = _partition_star_forest(df)
-    rows = forest.collect()
-    # ≤ one edge per non-root node PER PARTITION (2 partitions here), so
-    # the 4× band duplication collapses to ≤ 2×999 rows
-    assert len(rows) <= 2 * 999 < len(edges)
-    # and connectivity is intact: the forest's components == the chain's
-    out = connected_components(
-        forest.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
-    assert {r["component"] for r in out.collect()} == {0}
-    assert len(out.collect()) == 1000
 
 
 def test_self_loops_dups_and_reversed_edges(spark):
