@@ -344,7 +344,8 @@ def _explode_subvectors(vec_col, m_sub: int, sub_dim: int):
 
 def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
            n_iter: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-           round_dp: int = 6, init: str = "minid") -> DataFrame:
+           round_dp: int = 6, init: str = "minid",
+           fit_sample_mod: int | None = None) -> DataFrame:
     """Product-quantization codebooks (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI'11 — public): the vector is split
     into ``m_sub`` contiguous subspaces and each subspace gets its own
@@ -358,6 +359,15 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
     iteration is one broadcast-join assign + one groupBy update, with only
     the m_sub × n_codes × (dim/m_sub) codebook collected per iteration.
 
+    ``fit_sample_mod``: fit the codebooks on a DETERMINISTIC hash sample
+    of the corpus (portable 32-bit md5 hash of the id ≡ 0 mod this value
+    — replayable in any engine) instead of every vector.  This is the
+    production PQ discipline (FAISS trains on ~max(10⁴, 40·k) vectors,
+    not the corpus): at 10^10 vectors a full-corpus Lloyd pass per
+    iteration is pure waste — codebook quality converges on a sample, and
+    the re-rank stage absorbs the residual quantization noise.  ``None``
+    keeps the fit-on-everything behavior.
+
     Returns (sub int, code int, cvec array<double>)."""
     if dim % m_sub:
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
@@ -366,6 +376,10 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
     e = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if fit_sample_mod:
+        from .simdedup import _h32
+
+        e = e.where(_h32(F.col("id").cast("string")) % fit_sample_mod == 0)
     sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
           .select("id", "_s.sub", "_s.sv")
 
@@ -542,7 +556,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             m_sub: int = 4, n_codes: int = 8, n_iter: int = 2,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            fit_sample_mod: int | None = None) -> DataFrame:
     """ANN by asymmetric distance computation (ADC) over PQ codes: each
     query precomputes an m_sub × n_codes distance table against the
     codebooks (tiny — broadcast), then a document's approximate distance is
@@ -559,7 +574,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
 
     Returns (query_id, neighbor_id, rank, adist_ppm)."""
     sub_dim = dim // m_sub
-    cb = pq_fit(corpus, dim, m_sub, n_codes, n_iter, id_col, vec_col)
+    cb = pq_fit(corpus, dim, m_sub, n_codes, n_iter, id_col, vec_col,
+                fit_sample_mod=fit_sample_mod)
     enc = pq_encode(corpus, cb, dim, m_sub, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -690,7 +706,8 @@ def ivf_pq_residual_topk(corpus: DataFrame, queries: DataFrame, dim: int,
 def pq_rerank_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                    rerank: int = 50, m_sub: int = 4, n_codes: int = 8,
                    n_iter: int = 2, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   fit_sample_mod: int | None = None) -> DataFrame:
     """PQ ANN with the standard exact re-rank stage (Jégou et al. TPAMI'11
     §V.A: "re-ranking with source coding"): the ADC scan selects a top-
     ``rerank`` candidate set per query through the compressed codes alone,
@@ -706,7 +723,8 @@ def pq_rerank_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     Returns (query_id, neighbor_id, rank, cos)."""
     cand = pq_topk(corpus, queries, dim, k=rerank, m_sub=m_sub,
                    n_codes=n_codes, n_iter=n_iter, id_col=id_col,
-                   vec_col=vec_col).select("query_id", "neighbor_id")
+                   vec_col=vec_col,
+                   fit_sample_mod=fit_sample_mod).select("query_id", "neighbor_id")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
