@@ -114,6 +114,31 @@ GOLDEN_MALFORMED_TEXT = [
     ("<p>a</p></body></html><p>b</p>", "ab"),
     # whitespace-padded attributes with single quotes
     ("<div  class = 'x' >a</div>", "a"),
+    # --- r5 classes (carry-over: keep growing the list) ---
+    # block element inside <p>: libxml2 auto-closes the <p>; either
+    # recovery keeps document-order text
+    ("<p>a<div>b</div>c</p>", "abc"),
+    # consecutive unclosed <option>
+    ("<select><option>a<option>b</select>", "ab"),
+    # '>' inside a QUOTED attribute value does not end the tag
+    ('<div title="a>b">c</div>', "c"),
+    # end tag for a void element is dropped
+    ("<p>a</br>b</p>", "ab"),
+    # doctype and a top-level comment before the root contribute nothing
+    ("<!DOCTYPE html><!-- c --><p>a</p>", "a"),
+    # processing instruction contributes nothing; its tail survives
+    ("<p>a<?php echo 1; ?>b</p>", "ab"),
+    # double-escaped entity resolves exactly one level
+    ("<p>&amp;amp;</p>", "&amp;"),
+    # hex numeric entities, either case of the x
+    ("<p>&#x41;&#X42;</p>", "AB"),
+    # raw '&' inside an unquoted attribute value stays in the attribute
+    ("<a href=foo.html?a=1&b=2>x</a>", "x"),
+    # unquoted attrs with spaces around '=' and before '>'
+    ("<td colspan=2 rowspan = 3 >v</td>", "v"),
+    # XML-style self-closed non-void element: libxml2 treats <b/> as an
+    # open tag; text order is invariant either way
+    ("<p>a<b/>b</p>", "ab"),
 ]
 
 
