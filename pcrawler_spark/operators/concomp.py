@@ -248,9 +248,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds"
             )
-        # two star rounds per driver action; the mid-batch checkpoint is
-        # lazy too — it truncates round 2's lineage without a barrier
-        mid = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # two star rounds per driver action; only e2 is checkpoint-marked.
+        # (Do NOT mark `mid` too: with the default
+        # spark.checkpoint.checkpointAllMarkedAncestors=false the signature
+        # action completes only e2's checkpoint, so a mark on `mid` never
+        # truncates lineage — it would just persist one MEMORY_AND_DISK
+        # copy of the intermediate edge set per batch, a pure leak.)
+        mid = _small_star(_large_star(e))
         e2 = _small_star(_large_star(mid)).localCheckpoint(eager=False)
         sig2 = _signature(e2)
         rounds += 2

@@ -366,7 +366,11 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
     not the corpus): at 10^10 vectors a full-corpus Lloyd pass per
     iteration is pure waste — codebook quality converges on a sample, and
     the re-rank stage absorbs the residual quantization noise.  ``None``
-    keeps the fit-on-everything behavior.
+    keeps the fit-on-everything behavior.  If the sample carries fewer
+    than ``n_codes`` vectors (tiny corpus), the fit silently falls back
+    to the FULL corpus rather than emit an under-sized codebook; callers
+    that replay the sampled fit in SQL (q53's oracle) must therefore keep
+    sample_size ≥ n_codes (q53: ~125 ≫ 32).
 
     Returns (sub int, code int, cvec array<double>)."""
     if dim % m_sub:
@@ -379,7 +383,13 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
     if fit_sample_mod:
         from .simdedup import _h32
 
-        e = e.where(_h32(F.col("id").cast("string")) % fit_sample_mod == 0)
+        sampled = e.where(_h32(F.col("id").cast("string")) % fit_sample_mod == 0)
+        # guard: on a small corpus the hash sample can carry fewer vectors
+        # than n_codes (or none), silently under-sizing the codebook and
+        # degrading every downstream encode/topk — fall back to the full
+        # corpus then.  limit(n_codes) bounds the check to a cheap action.
+        if sampled.limit(n_codes).count() >= n_codes:
+            e = sampled
     sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
           .select("id", "_s.sub", "_s.sv")
 

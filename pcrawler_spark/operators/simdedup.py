@@ -121,7 +121,12 @@ def _minhash_wide(df: DataFrame, n_hashes: int, id_col: str, text_col: str,
     k× seed explode (k× smaller pre-aggregation input, map-side combine
     still applies)."""
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # deployments may set the conf non-numeric (e.g. "auto" under
+        # vendor AQE forks) — fall back to the cluster's parallelism
+        n_part = spark.sparkContext.defaultParallelism
     sh = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
         # explicit width: the explode below multiplies rows ~shingles-per-doc×,
@@ -231,6 +236,13 @@ def minhash_lsh_star_edges(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
 
     bands = minhash_bands(df, n_hashes, band_rows, id_col, text_col, n)
     keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
+    if n_hashes % band_rows:
+        # the trailing partial band carries NULL in its missing slots;
+        # minhash_lsh_candidates' equi-join emits NOTHING for it (NULL
+        # never equi-joins) but Window.partitionBy groups NULLs as EQUAL,
+        # which would link docs agreeing on fewer than band_rows hashes —
+        # drop the partial band so the transitive closure stays identical
+        bands = bands.where(F.col(f"mh_{band_rows - 1}").isNotNull())
     w = Window.partitionBy(*keys)
     return (
         bands.withColumn("_root", F.min("doc").over(w))

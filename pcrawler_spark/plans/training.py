@@ -32,7 +32,15 @@ def training_pipeline(docs: DataFrame, quality_min: int = 450000,
                       band_rows: int = 2,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents(id, text, ...) → surviving annotated docs
-    (id, lang_pred, quality_ppm, n_tokens + original columns)."""
+    (id, lang_pred, quality_ppm, n_tokens + original columns).
+
+    When ``near_dedup`` is on, the gated+deduped corpus is persisted
+    (MEMORY_AND_DISK: two consumers).  The CALLER owns that cache's
+    lifetime — the returned DataFrame carries the handle as
+    ``.training_persist_handle``; call ``.unpersist()`` on it after the
+    result is materialized, or repeated pipeline runs in one app pin a
+    stale corpus copy each (the scaling bench does exactly this between
+    levels)."""
     from pcrawler_spark.operators.concomp import connected_components
     from pcrawler_spark.operators.simdedup import minhash_lsh_star_edges
     from pcrawler_spark.operators.textstats import (
@@ -70,4 +78,6 @@ def training_pipeline(docs: DataFrame, quality_min: int = 450000,
     noncanon = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return kept.join(noncanon, id_col, "left_anti")
+    out = kept.join(noncanon, id_col, "left_anti")
+    out.training_persist_handle = kept
+    return out

@@ -127,16 +127,17 @@ def run_level(n_executors: int, n_docs: int, runs: int = 2) -> tuple[list[float]
         # warm-up (workers import the zip, codegen JITs): quality gate only
         training_pipeline(docs, quality_min=0, near_dedup=False).count()
         for _ in range(runs):
-            # each pass persists its own gated-corpus copy — drop the
-            # previous pass's blocks so runs don't compete for storage
-            spark.catalog.clearCache()
             # GC debt from the previous pass otherwise leaks into this one
             # (bench.py's run_throughput: 2-3x wall variance without it)
             spark._jvm.System.gc()
             time.sleep(0.5)
             t0 = time.time()
-            n = training_pipeline(docs, quality_min=0).count()
+            out = training_pipeline(docs, quality_min=0)
+            n = out.count()
             walls.append(round(time.time() - t0, 3))
+            # each pass persists its own gated-corpus copy; the pipeline
+            # documents that callers own the cache lifetime
+            out.training_persist_handle.unpersist()
         return walls, n
     finally:
         spark.stop()

@@ -174,3 +174,39 @@ def test_star_edges_same_components_as_clique_pairs(spark):
         return {r["id"]: r["component"] for r in comp.collect()}
 
     assert comp_map(clique) == comp_map(star)
+
+
+def test_star_edges_non_divisible_band_config(spark):
+    """band_rows ∤ n_hashes: the trailing partial band carries NULL slots.
+    The candidates equi-join emits NOTHING for that band (NULL never
+    equi-joins); Window.partitionBy would group those NULLs as EQUAL and
+    link docs that agree on fewer than band_rows hashes — the star-edge
+    generator must drop the partial band so both paths still produce the
+    identical transitive closure (round-5 ADVICE, simdedup.py)."""
+    import os
+
+    from pcrawler_spark.operators.concomp import connected_components
+    from pcrawler_spark.operators.simdedup import (
+        minhash_bands, minhash_lsh_candidates, minhash_lsh_star_edges)
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .filter("doc_id % 3 = 0")
+        .select("doc_id", "text")
+    )
+    kw = dict(n_hashes=5, band_rows=2)  # 2 full bands + 1 partial
+
+    # the partial band really exists and really carries NULL slots —
+    # otherwise this test exercises nothing
+    bands = minhash_bands(docs, **kw)
+    assert bands.filter("band = 2 AND mh_1 IS NULL").count() > 0
+
+    clique = minhash_lsh_candidates(docs, **kw)
+    star = minhash_lsh_star_edges(docs, **kw)
+
+    def comp_map(pairs):
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        return {r["id"]: r["component"] for r in comp.collect()}
+
+    assert comp_map(clique) == comp_map(star)

@@ -1,0 +1,125 @@
+"""Merged-oracle liveness check (round-5 judge item #6).
+
+Rounds 4-5 consolidated the 58-query registry to the driver's 50-slot
+gate by MERGING same-family queries into one slot (q05+q06 semi∪anti,
+q09+q10+q14 grouped-agg family, q11+q12 first∪last window, q15+q16
+union∪unpivot, q18+q19 json∪regexp, q23+q24 quality+lang, q55+q56
+chunk→pack, q57+old-q58 joined text metrics, learned-IVF folded into
+q30).  Each merge makes one oracle certify several operators — the risk
+is a DEAD BRANCH: if one side stopped contributing rows/values, the
+parity test would still pass on the surviving side and the slot would
+silently certify less than it claims.
+
+This test proves every merged branch is LIVE in the compared output:
+mutate one branch of the ORACLE SQL (a label, a constant, an aggregate)
+and assert the canonicalized result CHANGES.  A dead branch is exactly
+one whose mutations cannot change the output, so each passing case here
+is a branch whose values the driver's hash comparison actually pins.
+DuckDB-only — parity of the unmutated oracle against Spark is
+tests/test_oracle_parity.py's job; output-sensitivity of each branch is
+this one's.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# (query, branch label, unique substring in the oracle, mutated form)
+BRANCH_MUTATIONS = [
+    ("q05_semi_anti_customers", "semi (EXISTS)",
+     "'has_order' AS probe", "'has_order_mut' AS probe"),
+    ("q05_semi_anti_customers", "anti (NOT EXISTS)",
+     "'no_recent_order' AS probe", "'no_recent_order_mut' AS probe"),
+    ("q09_group_agg_family", "count",
+     "COUNT(*) AS n,", "COUNT(*) + 1 AS n,"),
+    ("q09_group_agg_family", "max",
+     "MAX(o_orderkey) AS latest_order", "MAX(o_orderkey) + 1 AS latest_order"),
+    ("q09_group_agg_family", "count-distinct",
+     "COUNT(DISTINCT o_orderstatus) AS n_statuses",
+     "COUNT(DISTINCT o_orderstatus) + 1 AS n_statuses"),
+    ("q11_window_first_last", "first",
+     "event_id AS first_event_id", "event_id + 1 AS first_event_id"),
+    ("q11_window_first_last", "last",
+     "event_id AS last_event_id", "event_id + 1 AS last_event_id"),
+    ("q15_union_unpivot", "union counts",
+     "COUNT(*) AS n FROM (", "COUNT(*) + 1 AS n FROM ("),
+    ("q15_union_unpivot", "union 'type' arm",
+     "UNION ALL SELECT 'type', p_type FROM part",
+     "UNION ALL SELECT 'type_mut', p_type FROM part"),
+    ("q15_union_unpivot", "unpivot",
+     "CAST(1 AS BIGINT) AS n", "CAST(2 AS BIGINT) AS n"),
+    ("q18_extract_json_regexp", "json",
+     "ROUND(AVG(k), 6) AS avg_k", "ROUND(AVG(k) + 1, 6) AS avg_k"),
+    ("q18_extract_json_regexp", "regexp",
+     "COUNT(*) AS n_docs", "COUNT(*) + 1 AS n_docs"),
+    ("q23_quality_lang", "lang-id",
+     "THEN 'en' WHEN", "THEN 'en_mut' WHEN"),
+    ("q23_quality_lang", "quality score",
+     "LEAST(400 * n_chars, 200000)", "LEAST(401 * n_chars, 200000)"),
+    # punct_ppm is constant 0 on the sf0.01 documents (no [.,!?;:] in the
+    # synthetic text) — scale mutations can't move it, but the +1 proves
+    # the hash pins the column's (all-zero) values in the comparison
+    ("q23_quality_lang", "punct ratio",
+     "n_punct / GREATEST(n_chars, 1)) AS BIGINT) AS punct_ppm",
+     "n_punct / GREATEST(n_chars, 1)) + 1 AS BIGINT) AS punct_ppm"),
+    ("q55_chunk_pack", "chunking",
+     "ceil(len(toks) / 64.0)", "ceil(len(toks) / 63.0)"),
+    ("q55_chunk_pack", "packing",
+     "/ 512.0", "/ 511.0"),
+    ("q57_text_metrics", "log-frequency",
+     "FLOOR(SUM(lp_ppm) * 1.0 / COUNT(*))",
+     "FLOOR(SUM(lp_ppm) * 1.0 / COUNT(*)) + 1"),
+    ("q57_text_metrics", "repetition ratio",
+     "1000000.0 * (COUNT(*) - COUNT(DISTINCT s))",
+     "2000000.0 * (COUNT(*) - COUNT(DISTINCT s))"),
+    ("q30_knn_ivf", "label variant",
+     "'label' AS variant", "'label_mut' AS variant"),
+    ("q30_knn_ivf", "learned variant",
+     "'learned' AS variant", "'learned_mut' AS variant"),
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(con, sql):
+    tbl = con.execute(sql).arrow()
+    cols = sorted(tbl.column_names)
+    rows = sorted(tuple(str(row[c]) for c in cols) for row in tbl.to_pylist())
+    return rows
+
+
+def test_every_merged_query_has_mutations():
+    merged = {q for q, *_ in BRANCH_MUTATIONS}
+    assert merged == {
+        "q05_semi_anti_customers", "q09_group_agg_family",
+        "q11_window_first_last", "q15_union_unpivot",
+        "q18_extract_json_regexp", "q23_quality_lang",
+        "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
+    }
+
+
+@pytest.mark.parametrize("query,branch,old,new",
+                         BRANCH_MUTATIONS,
+                         ids=[f"{q}-{b}" for q, b, _, _ in BRANCH_MUTATIONS])
+def test_branch_is_live(ddb, query, branch, old, new):
+    sql = entry_mod.oracle_sql()[query]
+    # surgical mutation: the substring must still exist and be unique, or
+    # the spec went stale against a reworded oracle — fail loudly then
+    assert sql.count(old) == 1, (
+        f"{query}: mutation target {old!r} occurs {sql.count(old)}× "
+        "(oracle reworded? update BRANCH_MUTATIONS)")
+    baseline = _canon(ddb, sql)
+    mutated = _canon(ddb, sql.replace(old, new))
+    assert mutated != baseline, (
+        f"{query} branch '{branch}' is DEAD: mutating {old!r} did not "
+        "change the oracle output, so the parity hash never pinned it")
