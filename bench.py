@@ -147,9 +147,8 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
     (``limit()`` would collapse the warm-up to one task on one worker);
     None = full-corpus warm-up."""
     from pcrawler_spark.session import get_spark
-    from pcrawler_spark.operators.politeness import politeness_decide
     from pcrawler_spark.plans.singlepass import (
-        classify_urls, schedule_and_extract, schedule_and_extract_bucketed)
+        schedule_and_extract, schedule_and_extract_bucketed, schedule_decisions)
 
     spark = get_spark(
         app_name=f"bench_scaling_{variant}_{n_executors}x{cores_per_executor}",
@@ -182,16 +181,11 @@ def run_throughput(n_executors: int, corpus_path: str, n_companies: int,
                     spark, PAGES_TABLE, hosts, sample_mod=sample_mod)
 
             def sched_only():
-                meta = classify_urls(
-                    spark.table(PAGES_TABLE).select(
-                        "url_hash", "canon_url", "host", "warc_ts")
-                ).withColumn(
-                    "priority",
-                    F.when(F.col("kind") == "listing", 0)
-                    .when(F.col("kind") == "detail", 1).otherwise(2),
-                ).withColumn("retry_count", F.lit(0))
-                meta = meta.repartition(spark.sparkContext.defaultParallelism, "host")
-                dec = politeness_decide(meta, hosts, epoch_seconds=1e9)
+                # the SAME factored chain the fused job runs (and q34's
+                # decision-counts oracle branch pins) — scheduling only
+                dec = schedule_decisions(
+                    spark.table(PAGES_TABLE).select("url_hash", "canon_url", "host"),
+                    hosts, epoch_seconds=1e9)
                 return dec.filter(F.col("decision") == "scheduled").select("url_hash")
         else:
             pages = spark.read.parquet(corpus_path)

@@ -11,10 +11,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 N_DOCS = int(os.environ.get("TRAIN_SCALE_DOCS", "240000"))
-CORPUS = os.path.join(REPO, ".bench", f"training_docs_{N_DOCS}")
+MODE = os.environ.get("TRAIN_SCALE_MODE", "strong")
 
 
-def profile_level(n_executors: int) -> dict:
+def profile_level(n_executors: int, n_docs: int) -> dict:
+    corpus = os.path.join(REPO, ".bench", f"training_docs_{n_docs}")
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -24,7 +25,7 @@ def profile_level(n_executors: int) -> dict:
         fingerprint, lang_id, quality_score, token_count)
     from pcrawler_spark.session import get_spark
 
-    shuffle = max(32, N_DOCS // 15_000)
+    shuffle = max(32, n_docs // 15_000)
     spark = get_spark(
         app_name=f"train_profile_{n_executors}x4",
         master=f"local-cluster[{n_executors},4,6144]",
@@ -39,7 +40,7 @@ def profile_level(n_executors: int) -> dict:
     )
     out = {}
     try:
-        docs = spark.read.parquet(CORPUS)
+        docs = spark.read.parquet(corpus)
         # warm-up
         docs.limit(1000).count()
         ann = token_count(lang_id(quality_score(
@@ -86,10 +87,15 @@ def profile_level(n_executors: int) -> dict:
 
 
 def main() -> None:
-    for level in (1, 4, 1, 4):
-        r = profile_level(level)
+    # weak (Gustafson) mode: the lo level carries a quarter corpus — the
+    # decomposition then shows which stage's wall FAILS to stay flat when
+    # 4x the cluster carries 4x the docs
+    lo_docs = N_DOCS // 4 if MODE == "weak" else N_DOCS
+    for level, nd in ((1, lo_docs), (4, N_DOCS), (1, lo_docs), (4, N_DOCS)):
+        r = profile_level(level, nd)
         r["level"] = f"{level}x4"
-        print(json.dumps(r))
+        r["n_docs"] = nd
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,11 @@ BRANCH_MUTATIONS = [
     ("q57_text_metrics", "repetition ratio",
      "1000000.0 * (COUNT(*) - COUNT(DISTINCT s))",
      "2000000.0 * (COUNT(*) - COUNT(DISTINCT s))"),
+    ("q34_politeness_schedule", "scheduled-urls rank cutoff",
+     "FROM r WHERE rk <= budget", "FROM r WHERE rk <= budget - 1"),
+    ("q34_politeness_schedule", "decision-counts budget",
+     "GREATEST(1, FLOOR(10.0 / delay) * par) AS budget2",
+     "GREATEST(1, FLOOR(5.0 / delay) * par) AS budget2"),
     ("q30_knn_ivf", "label variant",
      "'label' AS variant", "'label_mut' AS variant"),
     ("q30_knn_ivf", "learned variant",
@@ -105,6 +110,7 @@ def test_every_merged_query_has_mutations():
         "q11_window_first_last", "q15_union_unpivot",
         "q18_extract_json_regexp", "q23_quality_lang",
         "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
+        "q34_politeness_schedule",
     }
 
 
