@@ -230,6 +230,57 @@ INTL_NSN_RULES = {
     "992": re.compile(r"[1-9]\d{8}"),                    # TJ: 9 digits
     "993": re.compile(r"[1-8]\d{7}"),                    # TM: 8 digits
     "996": re.compile(r"[3-9]\d{8}"),                    # KG: 9 digits
+    # r6 extension — the FINAL 45 assigned geographic/shared ITU-T E.164
+    # codes (206 total incl. +84's exact VN rules above): island and
+    # territory plans, simplified from the ITU national numbering plans /
+    # libphonenumber's published metadata as before.  The calling-code
+    # LIST is now complete; pattern fidelity (not coverage) is the
+    # remaining delta vs `phonenumbers`.
+    "225": re.compile(r"[02]\d{9}"),                     # CI: 10 digits (2021 plan)
+    "229": re.compile(r"01\d{8}|[24-9]\d{7}"),           # BJ: 10 (2022 plan) / legacy 8
+    "239": re.compile(r"[29]\d{6}"),                     # ST: 7 digits
+    "240": re.compile(r"[235]\d{8}"),                    # GQ: 9 digits
+    "241": re.compile(r"[0-7]\d{6,8}"),                  # GA: 7-9 digits
+    "242": re.compile(r"[02]\d{8}"),                     # CG: 9 digits
+    "245": re.compile(r"9\d{8}|4\d{6}"),                 # GW: mobile 9 / geo 7
+    "246": re.compile(r"3\d{6}"),                        # IO: 7 digits
+    "247": re.compile(r"[46]\d{4}"),                     # AC: 5 digits
+    "252": re.compile(r"[1-9]\d{5,8}"),                  # SO: variable length
+    "262": re.compile(r"[26-9]\d{8}"),                   # RE/YT: 9 digits
+    "269": re.compile(r"[3478]\d{6}"),                   # KM: 7 digits
+    "290": re.compile(r"[256]\d{3,4}"),                  # SH: 4-5 digits
+    "297": re.compile(r"[25-9]\d{6}"),                   # AW: 7 digits
+    "298": re.compile(r"[2-9]\d{5}"),                    # FO: 6 digits
+    "299": re.compile(r"[1-9]\d{5}"),                    # GL: 6 digits
+    "378": re.compile(r"[05-9]\d{5,9}"),                 # SM: variable length
+    "500": re.compile(r"[2-7]\d{4}"),                    # FK: 5 digits
+    "501": re.compile(r"[2-8]\d{6}"),                    # BZ: 7 digits
+    "508": re.compile(r"[45]\d{5}"),                     # PM: 6 digits
+    "590": re.compile(r"[56]9\d{7}"),                    # GP/BL/MF: 9 digits
+    "592": re.compile(r"[2-7]\d{6}"),                    # GY: 7 digits
+    "594": re.compile(r"[56]94\d{6}"),                   # GF: 9 digits
+    "596": re.compile(r"[56]96\d{6}"),                   # MQ: 9 digits
+    "597": re.compile(r"[2-8]\d{5,6}"),                  # SR: 6-7 digits
+    "599": re.compile(r"[34569]\d{6,7}"),                # CW/BQ: 7-8 digits
+    "672": re.compile(r"[13]\d{5}"),                     # NF: 6 digits
+    "674": re.compile(r"[45]\d{6}"),                     # NR: 7 digits
+    "676": re.compile(r"[2-8]\d{4,6}"),                  # TO: 5 or 7 digits
+    "677": re.compile(r"[1-9]\d{4,6}"),                  # SB: 5 or 7 digits
+    "678": re.compile(r"[2-9]\d{4,6}"),                  # VU: 5 or 7 digits
+    "680": re.compile(r"[2-8]\d{6}"),                    # PW: 7 digits
+    "681": re.compile(r"[4-8]\d{5}"),                    # WF: 6 digits
+    "682": re.compile(r"[2-8]\d{4}"),                    # CK: 5 digits
+    "683": re.compile(r"[1-9]\d{3,6}"),                  # NU: 4 or 7 digits
+    "685": re.compile(r"[2-8]\d{4,6}"),                  # WS: 5-7 digits
+    "686": re.compile(r"[2-9]\d{4,7}"),                  # KI: 5 or 8 digits
+    "687": re.compile(r"[2-9]\d{5}"),                    # NC: 6 digits
+    "688": re.compile(r"[279]\d{4,6}"),                  # TV: 5-7 digits
+    "689": re.compile(r"[48]\d{7}|[2-9]\d{5}"),          # PF: 8 / legacy 6
+    "690": re.compile(r"[2-9]\d{3,6}"),                  # TK: 4-7 digits
+    "691": re.compile(r"[39]\d{6}"),                     # FM: 7 digits
+    "692": re.compile(r"[2-6]\d{6}"),                    # MH: 7 digits
+    "850": re.compile(r"[1-9]\d{6,9}"),                  # KP: variable length
+    "870": re.compile(r"7\d{8}"),                        # Inmarsat: 9 digits
 }
 
 
