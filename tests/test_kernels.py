@@ -423,6 +423,64 @@ def test_vendored_international_phone_metadata():
                    "+58312345678"]    # VE NSN starts 2/4
     for v in invalid_r5c:
         assert not is_valid_international(v), v
+    # r6 extension: the FINAL 45 assigned ITU codes (206 total — the
+    # calling-code list is now complete; island/territory plans)
+    valid_r6 = ["+2250701234567",     # CI 10-digit (2021 plan)
+                "+2290151234578",     # BJ 10-digit (2022 plan)
+                "+22990123456",       # BJ legacy 8-digit
+                "+2399912345",        # ST
+                "+240222123456",      # GQ
+                "+24106123456",       # GA
+                "+242061234567",      # CG
+                "+245955123456",      # GW mobile
+                "+2463123456",        # IO
+                "+24740123",          # AC
+                "+252612345678",      # SO mobile
+                "+262692123456",      # RE mobile
+                "+2693212345",        # KM
+                "+29022158",          # SH
+                "+2975612345",        # AW
+                "+298212345",         # FO
+                "+299321234",         # GL
+                "+378549123456",      # SM
+                "+50021234",          # FK
+                "+5012234567",        # BZ
+                "+508412345",         # PM
+                "+590690123456",      # GP mobile
+                "+5926212345",        # GY
+                "+594694123456",      # GF mobile
+                "+596696123456",      # MQ mobile
+                "+597741234",         # SR
+                "+59995123456",       # CW mobile
+                "+672312345",         # NF
+                "+6745551234",        # NR
+                "+67677123",          # TO
+                "+67774123",          # SB
+                "+67859123",          # VU
+                "+6807771234",        # PW
+                "+681501234",         # WF
+                "+68223456",          # CK
+                "+6834123456",        # NU 7-digit (4-digit NSN is below the global 8-digit E.164 floor)
+                "+68572123",          # WS
+                "+68672123456",       # KI 8-digit
+                "+687751234",         # NC
+                "+68890123",          # TV
+                "+68987123456",       # PF 8-digit
+                "+6907212345",        # TK 7-digit (4-digit NSN is below the 8-digit floor)
+                "+6913501234",        # FM
+                "+6922351234",        # MH
+                "+8502181234567",     # KP
+                "+870773123456"]      # Inmarsat
+    for v in valid_r6:
+        assert is_valid_international(v), v
+    invalid_r6 = ["+225123456789",    # CI 10-digit NSN starts 0 or 2
+                  "+2463123",         # IO is exactly 7 NSN digits
+                  "+2971212345",      # AW NSN starts 2/5-9
+                  "+59069123456",     # GP NSN is [56]9 + 7
+                  "+6829123",         # CK NSN starts 2-8 (5 digits)
+                  "+87012345678"]     # Inmarsat NSN is 7 + 8 digits
+    for v in invalid_r6:
+        assert not is_valid_international(v), v
     # reference control flow: >10-char + numbers are KEPT even when invalid
     assert normalize_phone("+15551234567") == "+15551234567"
     # short + numbers need a genuinely valid NSN
