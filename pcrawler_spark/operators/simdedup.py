@@ -321,3 +321,84 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def repeated_ngram_spans(df: DataFrame, k: int = 4, min_count: int = 2,
+                         keep_first: bool = True, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exact repeated-substring spans — the fixed-``k`` formulation of
+    ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, §4.1): every k-token
+    window whose token sequence occurs ``>= min_count`` times corpus-wide
+    (within OR across docs) marks a duplicated span; per doc, overlapping
+    and touching spans merge into maximal islands, the token ranges a
+    cleaner would cut.  ``keep_first=True`` exempts the corpus-wide
+    canonical occurrence of each duplicated gram (lexicographic min of
+    (doc, pos) — the surviving copy), so a passage repeated m times yields
+    m−1 cut spans, not m.
+
+    Returns (doc_id, span_start, span_end, n_grams) — span_end is the
+    exclusive token index; n_grams counts the duplicated k-gram hits the
+    island absorbed.  pcrawler has no substring dedup; this is training-
+    pipeline surface the 100 TB target needs (SURVEY §2 LLM-data ops).
+
+    Plan / scale: tokenize + slide the k-windows JVM-side (split /
+    transform / posexplode — no Python, no shuffle); count grams with ONE
+    groupBy on the 64-bit gram hash — map-side partial agg means a
+    boilerplate gram repeated 10^8 times ships one partial row per map
+    task, never 10^8 rows to one reducer (the skew-safe shape a window
+    count over the gram key would NOT have); the duplicated-gram table is
+    tiny in real corpora, so the join back to the unshuffled hits is
+    AQE-broadcastable; the island merge windows over doc_id alone
+    (bounded per-doc rows).  Grouping by xxhash64 instead of the gram
+    string keeps the shuffle rows fixed-width; a collision between two
+    distinct corpus grams (≈ n²/2⁶⁵) would only over-mark one span.
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hits = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select("doc", F.col("pos").cast("long").alias("pos"),
+             F.xxhash64("gram").alias("gh"))
+
+    dup = (
+        hits.groupBy("gh")
+        .agg(F.count("*").alias("cnt"),
+             F.min(F.struct("doc", "pos")).alias("first_hit"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gh", "first_hit")
+    )
+    marked = hits.join(dup, "gh")
+    if keep_first:
+        marked = marked.filter(
+            ~((F.col("doc") == F.col("first_hit.doc"))
+              & (F.col("pos") == F.col("first_hit.pos"))))
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        marked.select("doc", "pos")
+        .withColumn("brk", F.when(prev_end >= F.col("pos"), F.lit(0))
+                            .otherwise(F.lit(1)))
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"),
+             F.count("*").alias("n_grams"))
+        .select(F.col("doc").alias(id_col),
+                F.col("span_start").cast("long"),
+                F.col("span_end").cast("long"),
+                F.col("n_grams").cast("long"))
+        .orderBy(id_col, "span_start")
+    )

@@ -84,6 +84,11 @@ BRANCH_MUTATIONS = [
      "'label' AS variant", "'label_mut' AS variant"),
     ("q30_knn_ivf", "learned variant",
      "'learned' AS variant", "'learned_mut' AS variant"),
+    # r6 merge: former q59 (flat SQ8 scan) ∪ former q60 (IVF+SQ8+re-rank)
+    ("q60_sq8_family", "flat SQ8 branch",
+     "'sq8_flat' AS variant", "'sq8_flat_mut' AS variant"),
+    ("q60_sq8_family", "IVF+SQ8 branch",
+     "'ivf_sq8' AS variant", "'ivf_sq8_mut' AS variant"),
 ]
 
 
@@ -110,7 +115,7 @@ def test_every_merged_query_has_mutations():
         "q11_window_first_last", "q15_union_unpivot",
         "q18_extract_json_regexp", "q23_quality_lang",
         "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
-        "q34_politeness_schedule",
+        "q34_politeness_schedule", "q60_sq8_family",
     }
 
 
