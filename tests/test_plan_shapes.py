@@ -186,3 +186,20 @@ def test_ivf_pq_plan_no_cartesian(spark):
     # the broadcast centroid probe (formatted explain can print a reused
     # subtree twice, so bound rather than pin)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_repeated_spans_plan_shape(spark):
+    """q61: the gram count must be a partial-agg groupBy (skew-safe: a
+    boilerplate gram combines map-side, never fanning 10^8 rows into one
+    reducer), the duplicated-gram set joins BACK by broadcast (the hit
+    table never shuffles on the gram key), the island merge windows over
+    doc_id alone, and no Python appears in the plan."""
+    plan = plan_of(entry_mod.q61_repeated_spans(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial + final HashAggregate pair for the gram count
+    assert "partial_count" in plan
+    # tokenize/slide/explode are all JVM-side
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
