@@ -354,19 +354,7 @@ def repeated_ngram_spans(df: DataFrame, k: int = 4, min_count: int = 2,
     string keeps the shuffle rows fixed-width; a collision between two
     distinct corpus grams (≈ n²/2⁶⁵) would only over-mark one span.
     """
-    words = F.split(F.trim(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hits = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(grams).alias("pos", "gram"),
-    ).select("doc", F.col("pos").cast("long").alias("pos"),
-             F.xxhash64("gram").alias("gh"))
+    hits = _gram_hits(df, k, id_col, text_col)
 
     dup = (
         hits.groupBy("gh")
@@ -380,7 +368,34 @@ def repeated_ngram_spans(df: DataFrame, k: int = 4, min_count: int = 2,
         marked = marked.filter(
             ~((F.col("doc") == F.col("first_hit.doc"))
               & (F.col("pos") == F.col("first_hit.pos"))))
+    return _merge_span_islands(marked, k, id_col)
 
+
+def _gram_hits(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, gh) for every k-token window — tokenize + slide + explode
+    entirely JVM-side (split / transform / posexplode; no Python, no
+    shuffle); ``gh`` is the 64-bit xxhash of the gram text so downstream
+    shuffles/joins carry fixed-width keys, never the gram strings."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select("doc", F.col("pos").cast("long").alias("pos"),
+             F.xxhash64("gram").alias("gh"))
+
+
+def _merge_span_islands(marked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of marked gram hits (doc, pos) into maximal
+    per-doc spans: a hit whose running MAX(pos+k) over the preceding hits
+    already covers it extends the current island, otherwise it breaks a
+    new one.  Windows over doc alone (bounded per-doc rows)."""
     from pyspark.sql import Window
     w = Window.partitionBy("doc").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
@@ -402,3 +417,36 @@ def repeated_ngram_spans(df: DataFrame, k: int = 4, min_count: int = 2,
                 F.col("n_grams").cast("long"))
         .orderBy(id_col, "span_start")
     )
+
+
+def contaminated_spans(df: DataFrame, bench_df: DataFrame, k: int = 13,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination spans — the n-gram test-set-overlap
+    discipline of GPT-3 (Brown et al., arXiv:2005.14165, App. C) and PaLM:
+    a training document is contaminated wherever one of its k-token
+    windows also occurs anywhere in the benchmark/eval corpus
+    ``bench_df``; per doc, overlapping and touching contaminated windows
+    merge into maximal islands — the token ranges a decontaminator would
+    cut (or whole-doc-drop on any hit).  GPT-3 used k=13 word-grams
+    (hence the default); pass the k your eval contamination policy
+    specifies.
+
+    Returns (doc_id, span_start, span_end, n_grams), same contract as
+    ``repeated_ngram_spans`` (span_end exclusive; n_grams = contaminated
+    k-gram hits the island absorbed).  Docs with no overlap are absent.
+
+    Plan / scale: both sides tokenize + slide JVM-side (``_gram_hits``).
+    The benchmark side is distinct-ed on the 64-bit gram hash and
+    EXPLICITLY broadcast — eval suites are ~10^5 docs against a 10^10-doc
+    corpus, so the corpus-side hit stream must never shuffle; the
+    left-semi probe keeps it narrow (doc, pos) and map-side only.  The
+    island merge windows over doc alone.  pcrawler has no decontamination
+    op; this is training-pipeline surface the 100 TB target needs
+    (SURVEY §2 LLM-data ops)."""
+    b = bench_df.select(F.lit(0).alias("__bid"),
+                        F.col(bench_text_col or text_col).alias("__btxt"))
+    bench_grams = _gram_hits(b, k, "__bid", "__btxt").select("gh").distinct()
+    hits = _gram_hits(df, k, id_col, text_col)
+    marked = hits.join(F.broadcast(bench_grams), "gh", "left_semi")
+    return _merge_span_islands(marked, k, id_col)

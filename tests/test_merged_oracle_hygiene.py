@@ -89,6 +89,14 @@ BRANCH_MUTATIONS = [
      "'sq8_flat' AS variant", "'sq8_flat_mut' AS variant"),
     ("q60_sq8_family", "IVF+SQ8 branch",
      "'ivf_sq8' AS variant", "'ivf_sq8_mut' AS variant"),
+    # r6 merge: span family = ExactSubstr repeated spans ∪ benchmark
+    # n-gram decontamination spans
+    ("q61_repeated_spans", "repeated branch",
+     "'repeated' AS variant, doc_id", "'repeated_mut' AS variant, doc_id"),
+    ("q61_repeated_spans", "contam branch",
+     "'contam' AS variant, doc_id", "'contam_mut' AS variant, doc_id"),
+    ("q61_repeated_spans", "contam eval-set membership",
+     "WHERE g.doc_id % 7 <> 0", "WHERE g.doc_id % 11 <> 0"),
 ]
 
 
@@ -116,6 +124,7 @@ def test_every_merged_query_has_mutations():
         "q18_extract_json_regexp", "q23_quality_lang",
         "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
         "q34_politeness_schedule", "q60_sq8_family",
+        "q61_repeated_spans",
     }
 
 

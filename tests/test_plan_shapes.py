@@ -198,6 +198,9 @@ def test_repeated_spans_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the contam branch's eval-gram probe is an explicitly-broadcast
+    # left-semi join — the corpus hit stream never shuffles on the gram key
+    assert "LeftSemi" in plan
     # partial + final HashAggregate pair for the gram count
     assert "partial_count" in plan
     # tokenize/slide/explode are all JVM-side

@@ -1,19 +1,28 @@
-"""Golden tests for repeated_ngram_spans (operators/simdedup.py) — the
-fixed-k ExactSubstr span dedup (Lee et al. arXiv:2107.06499).  The q61
-oracle-parity run covers the sf0.01 corpus; these pin the semantics on
-handcrafted docs: cross-doc duplication, within-doc repetition, the
-keep-first exemption, min_count, island merging of overlapping AND
-touching spans, and sub-k docs.
+"""Golden tests for the span-marking dedup family (operators/simdedup.py):
+repeated_ngram_spans — the fixed-k ExactSubstr span dedup (Lee et al.
+arXiv:2107.06499) — and contaminated_spans — benchmark n-gram
+decontamination (GPT-3 arXiv:2005.14165 App. C).  The q61 oracle-parity
+run covers the sf0.01 corpus; these pin the semantics on handcrafted
+docs: cross-doc duplication, within-doc repetition, the keep-first
+exemption, min_count, island merging of overlapping AND touching spans,
+sub-k docs, and eval-overlap marking.
 """
 
 import pytest
 
-from pcrawler_spark.operators.simdedup import repeated_ngram_spans
+from pcrawler_spark.operators.simdedup import (contaminated_spans,
+                                               repeated_ngram_spans)
 
 
 def _spans(spark, docs, **kw):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     return [tuple(r) for r in repeated_ngram_spans(df, **kw).collect()]
+
+
+def _contam(spark, docs, bench, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    b = spark.createDataFrame(bench, "doc_id long, text string")
+    return [tuple(r) for r in contaminated_spans(df, b, **kw).collect()]
 
 
 def test_cross_doc_duplicate_passage_cuts_only_the_copy(spark):
@@ -65,3 +74,39 @@ def test_docs_shorter_than_k_produce_no_grams(spark):
 def test_unique_corpus_yields_empty(spark):
     docs = [(1, "a b c d"), (2, "e f g h")]
     assert _spans(spark, docs, k=3) == []
+
+
+def test_contam_marks_eval_overlap_and_merges_islands(spark):
+    # doc 1 shares "a b c d e" with the eval doc → 3-gram hits at pos
+    # 1,2,3 merge into [1, 6); doc 2 has no overlap and is absent
+    docs = [(1, "x a b c d e y z"), (2, "p q r s t u")]
+    bench = [(100, "a b c d e")]
+    assert _contam(spark, docs, bench, k=3) == [(1, 1, 6, 3)]
+
+
+def test_contam_no_keep_first_exemption(spark):
+    # unlike repeated spans there is NO canonical surviving copy: every
+    # corpus doc overlapping the eval set is marked, including the one
+    # whose text the eval gram appeared in "first"
+    docs = [(1, "a b c d"), (2, "a b c e")]
+    bench = [(100, "z a b c z2")]
+    assert _contam(spark, docs, bench, k=3) == [(1, 0, 3, 1), (2, 0, 3, 1)]
+
+
+def test_contam_disjoint_hits_stay_separate_islands(spark):
+    docs = [(1, "a b c m1 m2 m3 d e f")]
+    bench = [(100, "a b c"), (101, "d e f")]
+    assert _contam(spark, docs, bench, k=3) == [(1, 0, 3, 1), (1, 6, 9, 1)]
+
+
+def test_contam_corpus_internal_duplication_alone_is_clean(spark):
+    # corpus-internal repetition without eval overlap is NOT contamination
+    docs = [(1, "p q r s"), (2, "p q r s")]
+    bench = [(100, "u v w x")]
+    assert _contam(spark, docs, bench, k=3) == []
+
+
+def test_contam_sub_k_docs_and_bench_produce_no_grams(spark):
+    docs = [(1, "a b"), (2, "a b c d")]
+    bench = [(100, "a b")]
+    assert _contam(spark, docs, bench, k=3) == []
