@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     # minhash banding is timed inside q51 (pairs ∪ jaccard → CC); the q27
     # slot became the streaming fold (r5), which measures stream machinery,
     # not the hash family — q43 keeps an LSH-family timing in its place
-    "q43_hyperplane_lsh_pairs",
+    "q43_near_pair_family",
     "q29_knn_bruteforce",
     "q51_dedup_clusters",   # pairs → connected components (iterative)
     "q53_pq_rerank_topk",   # PQ fit + encode + ADC scan + exact re-rank

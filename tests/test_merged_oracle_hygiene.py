@@ -89,6 +89,11 @@ BRANCH_MUTATIONS = [
      "'sq8_flat' AS variant", "'sq8_flat_mut' AS variant"),
     ("q60_sq8_family", "IVF+SQ8 branch",
      "'ivf_sq8' AS variant", "'ivf_sq8_mut' AS variant"),
+    # r6 merge: simhash-banding near pairs ∪ hyperplane-LSH near pairs
+    ("q43_near_pair_family", "simhash branch",
+     "'simhash' AS variant", "'simhash_mut' AS variant"),
+    ("q43_near_pair_family", "hyperplane branch",
+     "'hyperplane' AS variant", "'hyperplane_mut' AS variant"),
     # r6 merge: span family = ExactSubstr repeated spans ∪ benchmark
     # n-gram decontamination spans
     ("q61_repeated_spans", "repeated branch",
@@ -124,7 +129,7 @@ def test_every_merged_query_has_mutations():
         "q18_extract_json_regexp", "q23_quality_lang",
         "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
         "q34_politeness_schedule", "q60_sq8_family",
-        "q61_repeated_spans",
+        "q43_near_pair_family", "q61_repeated_spans",
     }
 
 
