@@ -48,6 +48,13 @@ BENCH_QUERIES = [
     "q29_knn_bruteforce",
     "q51_dedup_clusters",   # pairs → connected components (iterative)
     "q53_pq_rerank_topk",   # PQ fit + encode + ADC scan + exact re-rank
+    # r6 webtext operators, each a cost family the list didn't time:
+    # q61 = positional k-shingle span dedup (explode → first-occurrence
+    # window → span merge), q62 = two-pass token-budget corpus mixing
+    # (per-bucket agg + cumulative window + budget cut).  ~13 s combined
+    # at sf0.1 — noise against the scaling loop's time box.
+    "q61_repeated_spans",
+    "q62_token_budget_mix",
 ]
 
 
