@@ -244,3 +244,102 @@ def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
             * (F.col("n_shingles") - F.col("n_distinct")) / F.col("n_shingles")
         ).cast("long").alias("dup_ratio_ppm"),
     )
+
+
+def gopher_repetition_signals(df: DataFrame, top_n: int = 2, dup_n: int = 5,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Character-coverage repetition signals from the Gopher quality-filter
+    family (Rae et al. 2021, "Scaling Language Models" §A1.1 — public;
+    also used by RefinedWeb/Dolma):
+
+    * ``top{top_n}gram_char_ppm`` — characters covered by the single most
+      frequent word ``top_n``-gram: floor(1e6 × count(top gram) ×
+      len(top gram) / doc chars).  Boilerplate headers/footers repeated
+      through a page dominate this even when the duplicate-RATIO stays low.
+    * ``dup{dup_n}gram_char_ppm`` — characters covered by word
+      ``dup_n``-grams occurring ≥ 2×: floor(1e6 × Σ count×len over
+      duplicated grams / doc chars).  Catches long-span repetition the
+      trigram ratio under-weights.
+
+    Distinct from :func:`repetition_ratio`: that one counts duplicate
+    SHINGLES; these weight by CHARACTERS, so one long repeated slogan
+    scores high even in a long document.
+
+    Determinism/portability: ties on the top gram break to the
+    lexicographically smallest gram (``min(s)`` among max-count grams —
+    a single-valued aggregate both engines order identically on the
+    binary/UTF-8 collation used here: ASCII corpus); all ratios are
+    floor-ppm over exact integer products.  Gram char length includes the
+    joining spaces (len of the gram string itself).  Docs shorter than n
+    words emit one truncated gram (same convention as repetition_ratio,
+    so the SQL replay shares the explode shape).
+
+    Plan shape at scale: one explode per n → groupBy (doc, gram) with
+    map-side partial aggregation → groupBy doc.  Both shuffles key on the
+    doc id (plus gram), so no global hotspot; no Python in the path.
+
+    Returns (id, n_chars, top{n}gram_char_ppm, dup{n}gram_char_ppm).
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        words.alias("w"),
+    )
+
+    def grams(n: int):
+        return base.select(
+            "_id",
+            "n_chars",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                )
+            ).alias("s"),
+        )
+
+    # top gram: per-(doc, gram) counts → per-doc max count → min gram among
+    # the maxima (deterministic tie-break) → char coverage
+    tcnt = grams(top_n).groupBy("_id", "n_chars", "s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tmax = tcnt.groupBy("_id").agg(F.max("cnt").alias("max_cnt"))
+    top = (
+        tcnt.join(tmax, "_id")
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("_id", "n_chars", "cnt")
+        .agg(F.min("s").alias("top_s"))
+        .select(
+            "_id",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("cnt") * F.length("top_s")
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).cast("long").alias(f"top{top_n}gram_char_ppm"),
+        )
+    )
+
+    # duplicated grams: Σ count×len over grams with count ≥ 2
+    dcnt = grams(dup_n).groupBy("_id", "n_chars", "s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dup = dcnt.groupBy("_id", "n_chars").agg(
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("s")).otherwise(0)
+        ).alias("dup_chars")
+    ).select(
+        "_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(
+            F.lit(1_000_000.0) * F.col("dup_chars")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).cast("long").alias(f"dup{dup_n}gram_char_ppm"),
+    )
+
+    return dup.join(top, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_chars",
+        f"top{top_n}gram_char_ppm",
+        f"dup{dup_n}gram_char_ppm",
+    )

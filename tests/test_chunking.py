@@ -81,3 +81,55 @@ def test_logfreq_and_repetition_semantics(spark):
     import math
     expected_doc1 = math.floor(1_000_000 * math.log10(7 / 14))
     assert lf[1]["logfreq_ppm"] == expected_doc1
+
+
+def test_gopher_repetition_signals_hand_computed(spark):
+    from pcrawler_spark.operators.textstats import gopher_repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: "ab cd ab cd ab" — 2-grams: "ab cd"×2, "cd ab"×2, tie on
+            # count → tie-break picks the lexicographically smaller "ab cd"
+            # (len 5, cnt 2); n_chars=14; 5-grams: one (whole doc) → no dup
+            (1, "ab cd ab cd ab"),
+            # doc 2: all-unique words — top 2-gram cnt 1, no dup 5-grams
+            (2, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+            # doc 3: a 5-word slogan repeated 3× — every 5-gram window that
+            # realigns repeats; dup5 coverage is high
+            (3, "buy our great product now buy our great product now buy our great product now"),
+            # doc 4: shorter than 5 words — one truncated 5-gram, no dup
+            (4, "one two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_repetition_signals(docs, top_n=2, dup_n=5).collect()}
+
+    # doc1: top gram "ab cd" cnt=2 len=5, n_chars=14 → floor(1e6*10/14)
+    assert out[1]["n_chars"] == 14
+    assert out[1]["top2gram_char_ppm"] == 1_000_000 * 10 // 14
+    assert out[1]["dup5gram_char_ppm"] == 0
+
+    # doc2: every 2-gram unique → cnt=1; top coverage is small but nonzero
+    assert out[2]["dup5gram_char_ppm"] == 0
+    assert 0 < out[2]["top2gram_char_ppm"] < 300_000
+
+    # doc3: 15 words; "buy our" ×3, "our great" ×3, "great product" ×3,
+    # "product now" ×3, "now buy" ×2 — tie on cnt=3 → min lex "buy our"
+    # (len 7).  Recompute both signals exactly in Python against the text.
+    text3 = "buy our great product now buy our great product now buy our great product now"
+    n_chars3 = len(text3)
+    assert out[3]["n_chars"] == n_chars3
+    assert out[3]["top2gram_char_ppm"] == 1_000_000 * 3 * len("buy our") // n_chars3
+    words = text3.split(" ")
+    grams = [" ".join(words[i:i + 5]) for i in range(len(words) - 4)]
+    from collections import Counter
+    c = Counter(grams)
+    dup_chars = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+    assert dup_chars > 0
+    assert out[3]["dup5gram_char_ppm"] == 1_000_000 * dup_chars // n_chars3
+
+    # doc4: one truncated gram each; cnt=1 everywhere
+    assert out[4]["dup5gram_char_ppm"] == 0
+    # top 2-gram is the whole text "one two" (len 7 = n_chars) cnt 1 → 1e6
+    assert out[4]["top2gram_char_ppm"] == 1_000_000

@@ -75,6 +75,15 @@ BRANCH_MUTATIONS = [
     ("q57_text_metrics", "repetition ratio",
      "1000000.0 * (COUNT(*) - COUNT(DISTINCT s))",
      "2000000.0 * (COUNT(*) - COUNT(DISTINCT s))"),
+    # r6 columns: Gopher char-coverage pair.  top2 coverage is nonzero on
+    # every doc, so a scale mutation moves it; dup5 coverage is constant 0
+    # on the synthetic sf0.01 docs (no repeated 5-gram in random word
+    # salad) — like punct_ppm above, mutate the ELSE arm to prove the hash
+    # pins the (all-zero) column's values
+    ("q57_text_metrics", "gopher top-2-gram coverage",
+     "t.cnt * length(MIN(t.s))", "t.cnt * (length(MIN(t.s)) + 1)"),
+    ("q57_text_metrics", "gopher dup-5-gram coverage",
+     "ELSE 0 END)", "ELSE 1 END)"),
     ("q34_politeness_schedule", "scheduled-urls rank cutoff",
      "FROM r WHERE rk <= budget", "FROM r WHERE rk <= budget - 1"),
     ("q34_politeness_schedule", "decision-counts budget",
