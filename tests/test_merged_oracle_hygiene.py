@@ -111,6 +111,14 @@ BRANCH_MUTATIONS = [
      "'contam' AS variant, doc_id", "'contam_mut' AS variant, doc_id"),
     ("q61_repeated_spans", "contam eval-set membership",
      "WHERE g.doc_id % 7 <> 0", "WHERE g.doc_id % 11 <> 0"),
+    # r6 merge: X5 name sanitizer ∪ PII redaction (emails→IPs→phones)
+    ("q39_sanitize_pii_family", "name branch",
+     "'name' AS variant", "'name_mut' AS variant"),
+    ("q39_sanitize_pii_family", "pii redacted-text branch",
+     "'<PHONE>', 'g')", "'<FONE>', 'g')"),
+    ("q39_sanitize_pii_family", "pii count branch",
+     "unnest(['emails', 'ips', 'phones'])",
+     "unnest(['emails_mut', 'ips', 'phones'])"),
 ]
 
 
@@ -139,6 +147,7 @@ def test_every_merged_query_has_mutations():
         "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
         "q34_politeness_schedule", "q60_sq8_family",
         "q43_near_pair_family", "q61_repeated_spans",
+        "q39_sanitize_pii_family",
     }
 
 
