@@ -1,0 +1,52 @@
+"""PageRank (integer-ppm fixed-iteration) semantics."""
+
+
+def _py_pagerank_ppm(edges, damping_ppm=850_000, iters=3):
+    """Independent driver-side reimplementation of the exact contract."""
+    e = sorted({(u, v) for u, v in edges if u != v})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    od = {}
+    for u, _ in e:
+        od[u] = od.get(u, 0) + 1
+    base = (1_000_000 - damping_ppm) // n
+    rank = {v: 1_000_000 // n for v in nodes}
+    import math
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for u, v in e:
+            acc[v] += math.floor(rank[u] * float(damping_ppm) / (1_000_000.0 * od[u]))
+        rank = {v: base + acc[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_hand_graph(spark):
+    from pcrawler_spark.operators.linkrank import pagerank_ppm
+
+    # star: everyone links to 0; 0 links to 1.  Node 0 must dominate.
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (1, 1), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(df).collect()}
+    want = _py_pagerank_ppm(edges)
+    assert got == want
+    assert got[0] == max(got.values())
+    # nodes 2..4 are dangling-in only (no in-links) → exactly the base term
+    assert got[2] == got[3] == got[4] == (1_000_000 - 850_000) // 5
+
+
+def test_pagerank_chain_and_dangling_mass(spark):
+    from pcrawler_spark.operators.linkrank import pagerank_ppm
+
+    # chain 0→1→2; 2 dangles (its mass leaks by design — ranking unaffected)
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(df, iters=2).collect()}
+    want = _py_pagerank_ppm([(0, 1), (1, 2)], iters=2)
+    assert got == want
+    assert got[2] > got[1] > got[0]  # downstream accumulates authority
+
+
+def test_pagerank_empty_graph(spark):
+    from pcrawler_spark.operators.linkrank import pagerank_ppm
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_ppm(df).count() == 0

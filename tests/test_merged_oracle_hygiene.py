@@ -119,6 +119,14 @@ BRANCH_MUTATIONS = [
     ("q39_sanitize_pii_family", "pii count branch",
      "unnest(['emails', 'ips', 'phones'])",
      "unnest(['emails_mut', 'ips', 'phones'])"),
+    # r6 merge: robots host policy ∪ PageRank frontier authority
+    ("q46_crawl_policy_family", "robots branch",
+     "'robots' AS variant", "'robots_mut' AS variant"),
+    ("q46_crawl_policy_family", "pagerank label",
+     "'pagerank' AS variant", "'pagerank_mut' AS variant"),
+    ("q46_crawl_policy_family", "pagerank final-iteration damping",
+     "FROM pr_e e JOIN pr_r2 r ON e.src = r.node",
+     "FROM pr_e e JOIN pr_r1 r ON e.src = r.node"),
 ]
 
 
@@ -147,7 +155,7 @@ def test_every_merged_query_has_mutations():
         "q55_chunk_pack", "q57_text_metrics", "q30_knn_ivf",
         "q34_politeness_schedule", "q60_sq8_family",
         "q43_near_pair_family", "q61_repeated_spans",
-        "q39_sanitize_pii_family",
+        "q39_sanitize_pii_family", "q46_crawl_policy_family",
     }
 
 
