@@ -206,3 +206,61 @@ def test_repeated_spans_plan_shape(spark):
     # tokenize/slide/explode are all JVM-side
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_pagerank_plan_shape(spark):
+    """q46 pagerank branch: the iteration joins must be hash joins (never a
+    cartesian / nested-loop), the per-round contribution sum a partial-agg
+    groupBy on the dst node (map-side combine absorbs in-degree skew), and
+    the whole thing JVM-side.  The edge/node sets are lazily
+    localCheckpointed, so the iteration job reads stored blocks — the
+    source scan must NOT reappear per round."""
+    from pcrawler_spark.operators.linkrank import pagerank_ppm
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        F.when(F.col("o_orderkey") % 1000 < 500, F.col("o_orderkey") % 10)
+        .otherwise(F.col("o_orderkey") % 200)
+        .alias("dst"),
+    )
+    plan = plan_of(pagerank_ppm(edges, iters=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_sum" in plan
+    # checkpointed lineage: the rank job scans the stored RDD, not parquet
+    assert "Scan parquet" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_redact_pii_plan_is_codegen_only(spark):
+    """q39 pii branch: the staged regexp chain must stay inside whole-stage
+    codegen — no Python evaluation node anywhere (redaction runs over every
+    document at 100 TB; a per-row Python UDF here would be the pipeline's
+    bottleneck)."""
+    from pcrawler_spark.operators.redact import redact_pii
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = redact_pii(c.select(F.col("c_name").alias("text")))
+    plan = plan_of(df)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    # formatted mode marks codegen'd nodes with '*' + a codegen id — the
+    # whole chain must collapse to one codegen'd Project over the scan
+    assert "[codegen id" in plan and "* Project" in plan
+
+
+def test_gopher_signals_plan_shape(spark):
+    """q57 char-coverage signals: both n-gram counts are partial-agg
+    groupBys keyed on (doc, gram) — per-doc hot grams combine map-side —
+    and the top-gram tie-break resolves with aggregates, not a global
+    sort."""
+    from pcrawler_spark.operators.textstats import gopher_repetition_signals
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(gopher_repetition_signals(d))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
