@@ -88,11 +88,14 @@ def token_budget_mix(df: DataFrame, budgets: dict, id_col: str = "doc_id",
     w = (Window.partitionBy("stratum", "bucket").orderBy("h", "id")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (F.col("offset") + F.sum("n_tokens").over(w)).alias("cum_tokens")
+    # output order is UNSPECIFIED: a global orderBy here would re-introduce
+    # the full-corpus sort the two-pass scan exists to avoid (the kept set
+    # is itself web-scale when budgets are).  Callers needing an order sort
+    # their (usually much smaller) downstream slice.
     return (
         rows.join(F.broadcast(off), ["stratum", "bucket"])
         .select("id", "stratum", "n_tokens", cum)
         .filter(F.col("cum_tokens") <= budget)
         .select(F.col("id").alias(id_col), F.col("stratum").alias(stratum_col),
                 "n_tokens", "cum_tokens")
-        .orderBy(stratum_col, "cum_tokens")
     )
