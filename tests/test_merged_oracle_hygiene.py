@@ -127,6 +127,14 @@ BRANCH_MUTATIONS = [
     ("q46_crawl_policy_family", "pagerank final-iteration damping",
      "FROM pr_e e JOIN pr_r2 r ON e.src = r.node",
      "FROM pr_e e JOIN pr_r1 r ON e.src = r.node"),
+    # r6 merge: xlsx roundtrip ∪ WARC roundtrip
+    ("q50_roundtrip_family", "xlsx branch",
+     "'xlsx' AS variant", "'xlsx_mut' AS variant"),
+    ("q50_roundtrip_family", "warc payload fidelity",
+     "|| ' ' || md5(text)", "|| ' ' || md5(text || 'x')"),
+    ("q50_roundtrip_family", "warc date derivation",
+     "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')",
+     "lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')"),
 ]
 
 
@@ -156,6 +164,7 @@ def test_every_merged_query_has_mutations():
         "q34_politeness_schedule", "q60_sq8_family",
         "q43_near_pair_family", "q61_repeated_spans",
         "q39_sanitize_pii_family", "q46_crawl_policy_family",
+        "q50_roundtrip_family",
     }
 
 
