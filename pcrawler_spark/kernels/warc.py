@@ -77,3 +77,42 @@ def parse_warc(blob: bytes) -> List[Tuple[str, str, bytes]]:
                      fields.get("warc-date", ""), payload))
         i = j + 4 + clen
     return recs
+
+
+# ---------------------------------------------------------------------------
+# Member-wise gzip (.warc.gz) — the Common Crawl convention: every record is
+# its own gzip MEMBER, concatenated.  That layout exists precisely for
+# distributed processing: a reader can start at any member boundary without
+# decompressing the whole file, and record-level random access stays cheap.
+# Python's gzip.decompress inflates only the FIRST member, so parsing walks
+# members with a streaming zlib window instead.
+# ---------------------------------------------------------------------------
+
+
+def build_warc_gz(records: Iterable[Tuple[str, str, bytes]]) -> bytes:
+    """Like :func:`build_warc`, but each record becomes one gzip member
+    (mtime pinned to 0 so output is byte-deterministic across runs)."""
+    import gzip
+
+    out: List[bytes] = []
+    for rec in records:
+        out.append(gzip.compress(build_warc([rec]), mtime=0))
+    return b"".join(out)
+
+
+def parse_warc_gz(blob: bytes) -> List[Tuple[str, str, bytes]]:
+    """Member-wise-gzipped WARC blob → records.  Each member is inflated
+    with its own zlib window (wbits=47 auto-detects the gzip header) and
+    ``unused_data`` hands over the next member's offset."""
+    import zlib
+
+    recs: List[Tuple[str, str, bytes]] = []
+    rest = bytes(blob)
+    while rest:
+        d = zlib.decompressobj(wbits=47)
+        chunk = d.decompress(rest)
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        recs.extend(parse_warc(chunk))
+        rest = d.unused_data
+    return recs

@@ -29,15 +29,18 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..kernels.warc import build_warc, parse_warc
+from ..kernels.warc import build_warc, build_warc_gz, parse_warc, parse_warc_gz
 
 
 def write_warc(df: DataFrame, out_dir: str, uri_col: str = "url",
-               date_col: str = "warc_date", payload_col: str = "html") -> DataFrame:
+               date_col: str = "warc_date", payload_col: str = "html",
+               compress: bool = False) -> DataFrame:
     """Write (uri, date, payload-string) rows as WARC shards, one file per
     partition.  Returns the manifest (warc_path, n_records) — count it to
     materialize the write.  Payload strings are encoded UTF-8 (WARC
-    Content-Length counts octets)."""
+    Content-Length counts octets).  ``compress=True`` writes ``.warc.gz``
+    in Common Crawl's member-wise-gzip layout (one gzip member per
+    record)."""
     sel = df.select(uri_col, date_col, payload_col)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -49,9 +52,11 @@ def write_warc(df: DataFrame, out_dir: str, uri_col: str = "url",
             return
         # uuid4 filename: tasks may retry/speculate; each attempt writes a
         # fresh file and only the attempt that COMMITS reports its path
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+        suffix = "warc.gz" if compress else "warc"
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.{suffix}")
+        blob = build_warc_gz(recs) if compress else build_warc(recs)
         with open(path, "wb") as f:
-            f.write(build_warc(recs))
+            f.write(blob)
         yield pd.DataFrame({"warc_path": [path], "n_records": [len(recs)]})
 
     os.makedirs(out_dir, exist_ok=True)
@@ -67,7 +72,11 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             paths, urls, dates, htmls = [], [], [], []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for uri, date, payload in parse_warc(bytes(content)):
+                blob = bytes(content)
+                # gzip magic → member-wise .warc.gz (mixed dirs are fine:
+                # detection is per file, not per extension)
+                reader = parse_warc_gz if blob[:2] == b"\x1f\x8b" else parse_warc
+                for uri, date, payload in reader(blob):
                     paths.append(p)
                     urls.append(uri)
                     dates.append(date)
