@@ -46,9 +46,12 @@ def q36_expected() -> pd.DataFrame:
     rows = []
     for i in range(30):
         kind = ["image", "audio", "video"][i % 3]
-        truncated = i in (9, 10)
+        truncated = i in (9, 10, 12)
         if kind == "image":
-            codec = "ppm"
+            # images alternate the two REAL decoders: BMP on i%6==0, PPM on
+            # i%6==3 (mirrors q36's payload builder); f0 = declared width
+            # for both, straight from the builder's own parameter
+            codec = "bmp" if i % 6 == 0 else "ppm"
             f0, ok = (None, False) if truncated else (float(16 + i % 5), True)
         elif kind == "audio":
             codec = "wav"

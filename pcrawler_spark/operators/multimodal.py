@@ -8,6 +8,9 @@ Decode status per format:
 
 * **PPM (P6) images — REAL decode** (pure stdlib+numpy header/raster parse):
   width/height + per-channel means + grayscale std features;
+* **BMP (24-bit uncompressed, BITMAPINFOHEADER) images — REAL decode**
+  (little-endian header + padded BGR raster, bottom-up and top-down rows):
+  same feature shape as PPM;
 * **WAV (PCM16) audio — REAL decode** (stdlib ``wave`` + numpy): duration,
   rate, channels, rms/peak/zero-cross features;
 * **everything codec-bound (jpeg/png/mp3/mp4/...) — STUB**: the codec
@@ -91,6 +94,51 @@ def _decode_ppm(payload: bytes) -> Optional[list[float]]:
             float(maxval), 3.0]
 
 
+def _parse_bmp(payload: bytes):
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) → (w, h, uint8 RGB
+    ndarray[h,w,3]) or None.  Handles the 4-byte row padding and both row
+    orders (positive biHeight = bottom-up, negative = top-down)."""
+    if not payload or not payload.startswith(b"BM") or len(payload) < 54:
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down, ah = h < 0, abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * ah
+    if data_off < 54 or len(payload) < need:
+        return None
+    arr = (np.frombuffer(payload[data_off:need], dtype=np.uint8)
+             .reshape(ah, row_bytes)[:, : w * 3].reshape(ah, w, 3))
+    arr = arr[:, :, ::-1]  # stored BGR → RGB
+    if not top_down:
+        arr = arr[::-1]  # bottom-up storage → top-down array
+    return w, ah, arr
+
+
+def _decode_bmp(payload: bytes) -> Optional[list[float]]:
+    """REAL BMP decode; same feature shape as PPM (maxval is fixed 255):
+    [w, h, mean_r, mean_g, mean_b, std_gray, 255, 3]."""
+    parsed = _parse_bmp(payload)
+    if parsed is None:
+        return None
+    w, h, raw = parsed
+    px = raw.astype(np.float32)
+    gray = px.mean(axis=2)
+    return [float(w), float(h),
+            float(px[:, :, 0].mean() / 255.0), float(px[:, :, 1].mean() / 255.0),
+            float(px[:, :, 2].mean() / 255.0), float(gray.std() / 255.0),
+            255.0, 3.0]
+
+
 def _decode_wav(payload: bytes) -> Optional[list[float]]:
     """REAL PCM16 WAV decode via stdlib ``wave``.
     Features: [duration_s, rate, n_channels, mean_abs, rms, peak, zcr, 16]."""
@@ -130,6 +178,9 @@ def _decode_one(payload: Optional[bytes]) -> tuple[str, Optional[list[float]], b
     if b.startswith(b"P6"):
         feats = _decode_ppm(b)
         return "ppm", feats, feats is not None
+    if b.startswith(b"BM"):
+        feats = _decode_bmp(b)
+        return "bmp", feats, feats is not None
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         feats = _decode_wav(b)
         return "wav", feats, feats is not None
@@ -249,6 +300,35 @@ def make_ppm(width: int, height: int, seed: int) -> bytes:
     d = blake2b(f"ppm:{seed}".encode(), digest_size=32).digest()
     px = np.frombuffer((d * (n // 32 + 1))[:n], dtype=np.uint8)
     return header + px.tobytes()
+
+
+def make_bmp(width: int, height: int, seed: int, top_down: bool = False) -> bytes:
+    """A valid 24-bit uncompressed BMP with deterministic pixel content
+    (same blake2b pixel stream as make_ppm so cross-format tests can
+    compare features)."""
+    row_bytes = (width * 3 + 3) & ~3
+    n = width * height * 3
+    d = blake2b(f"bmp:{seed}".encode(), digest_size=32).digest()
+    px = np.frombuffer((d * (n // 32 + 1))[:n], dtype=np.uint8).reshape(
+        height, width, 3)
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    pad = b"\x00" * (row_bytes - width * 3)
+    for r in order:
+        rows.append(px[r, :, ::-1].tobytes() + pad)  # RGB → stored BGR
+    raster = b"".join(rows)
+    biheight = -height if top_down else height
+    header = (b"BM"
+              + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + width.to_bytes(4, "little", signed=True)
+              + biheight.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + raster
 
 
 def make_wav(n_frames: int, rate: int, seed: int, n_channels: int = 1) -> bytes:

@@ -57,7 +57,8 @@ def test_q36_media_fixture_fresh_and_decoders_agree():
     test actually produce for the same payloads — two independent
     derivations meeting at the fixture."""
     import make_fixtures as mf
-    from pcrawler_spark.operators.multimodal import _decode_one, make_ppm, make_wav
+    from pcrawler_spark.operators.multimodal import (_decode_one, make_bmp,
+                                                     make_ppm, make_wav)
 
     want = mf.q36_expected()
     got = pd.read_parquet(os.path.join(FIX, "q36_media_truth.parquet"))
@@ -68,12 +69,15 @@ def test_q36_media_fixture_fresh_and_decoders_agree():
     for i in range(30):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
-            payload = make_ppm(16 + i % 5, 12, i)
+            if i % 6 == 0:  # r6: images alternate the two REAL decoders
+                payload = make_bmp(16 + i % 5, 12, i)
+            else:
+                payload = make_ppm(16 + i % 5, 12, i)
         elif kind == "audio":
             payload = make_wav(4000 + 100 * i, 16000, i)
         else:
             payload = bytes([i % 251] * (50 + i))
-        if i in (9, 10):
+        if i in (9, 10, 12):
             payload = payload[:20]
         codec, feats, ok = _decode_one(payload)
         row = want[want.media_id == i].iloc[0]

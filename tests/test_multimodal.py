@@ -127,3 +127,33 @@ def test_resize_images_spark(spark):
     assert not out[2]["resize_ok"] and bytes(out[2]["payload"]) == b"\xff\xd8notppm"
     assert out[2]["width"] is None
     assert not out[3]["resize_ok"] and out[3]["payload"] is None
+
+
+def test_bmp_real_decode_padding_and_row_order():
+    """24-bit BMP: 4-byte row padding honored (w=5 → 15-byte rows pad to
+    16), bottom-up and top-down storage decode to identical pixels, and
+    BMP/PPM built from the same pixel function agree on dimensions."""
+    import numpy as np
+
+    from pcrawler_spark.operators.multimodal import (_decode_bmp, _decode_one,
+                                                     _parse_bmp, make_bmp)
+
+    up, down = make_bmp(5, 3, 11), make_bmp(5, 3, 11, top_down=True)
+    w1, h1, a1 = _parse_bmp(up)
+    w2, h2, a2 = _parse_bmp(down)
+    assert (w1, h1) == (5, 3) and (a1 == a2).all()
+    assert _decode_bmp(up) == _decode_bmp(down)
+
+    codec, feats, ok = _decode_one(up)
+    assert codec == "bmp" and ok and feats[0] == 5.0 and feats[1] == 3.0
+
+    # hand-computed: a 1x1 image's mean channels are the pixel itself
+    one = make_bmp(1, 1, 3)
+    _, _, px = _parse_bmp(one)
+    f = _decode_bmp(one)
+    assert [round(v * 255) for v in f[2:5]] == list(px[0, 0])
+
+    # malformed inputs fail honestly, still labeled bmp by magic
+    codec, feats, ok = _decode_one(up[:20])
+    assert codec == "bmp" and not ok and feats is None
+    assert _decode_bmp(b"BM" + b"\x00" * 60) is None  # zero-dim header
