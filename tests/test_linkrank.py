@@ -50,3 +50,46 @@ def test_pagerank_empty_graph(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank_ppm(df).count() == 0
+
+
+def test_bm25_hand_model(spark):
+    """bm25_topk vs an independent Python model on a tiny corpus, plus the
+    ranking sanity every BM25 must satisfy: a term-dense short doc outranks
+    a term-sparse long one; docs without query terms never appear."""
+    import math
+
+    from pcrawler_spark.operators.retrieval import bm25_topk
+
+    corpus = [
+        (1, "spark join spark join spark"),            # dense, short
+        (2, "spark alpha beta gamma delta eps zeta eta theta iota"),
+        (3, "alpha beta gamma delta"),                 # no query terms
+        (4, "join vector window spark join"),          # all four terms
+        (5, "window window window window window window window window"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score_ppm"], r["n_terms_matched"])
+           for r in bm25_topk(df, ("spark", "vector", "window", "join"), k=10).collect()}
+
+    # independent model (k1=1.5, b=0.75, Lucene-style idf, floor-ppm)
+    toks = {d: t.split(" ") for d, t in corpus}
+    N = len(toks)
+    avgdl = float(sum(len(v) for v in toks.values())) / float(N)
+    terms = ("spark", "vector", "window", "join")
+    df_t = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    want = {}
+    for d, v in toks.items():
+        s, m = 0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.floor(1e6 * math.log((N - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0))
+            s += math.floor(idf * (tf * 2.5) / (tf + 1.5 * (0.25 + (0.75 * len(v)) / avgdl)))
+            m += 1
+        if m:
+            want[d] = (s, m)
+    assert got == want
+    assert 3 not in got
+    assert got[4][1] == 4                       # matched all four terms
+    assert got[1][0] > got[2][0]                # dense short beats sparse long

@@ -127,6 +127,13 @@ BRANCH_MUTATIONS = [
     ("q46_crawl_policy_family", "pagerank final-iteration damping",
      "FROM pr_e e JOIN pr_r2 r ON e.src = r.node",
      "FROM pr_e e JOIN pr_r1 r ON e.src = r.node"),
+    # r6 merge: BPE token counts ∪ BM25 lexical top-k
+    ("q44_lexical_family", "bpe branch",
+     "'bpe' AS variant", "'bpe_mut' AS variant"),
+    ("q44_lexical_family", "bm25 label",
+     "'bm25' AS variant", "'bm25_mut' AS variant"),
+    ("q44_lexical_family", "bm25 saturation constant",
+     "tf.tf + 1.5 * (0.25", "tf.tf + 1.4 * (0.25"),
     # r6 merge: xlsx roundtrip ∪ WARC roundtrip
     ("q50_roundtrip_family", "xlsx branch",
      "'xlsx' AS variant", "'xlsx_mut' AS variant"),
@@ -164,7 +171,7 @@ def test_every_merged_query_has_mutations():
         "q34_politeness_schedule", "q60_sq8_family",
         "q43_near_pair_family", "q61_repeated_spans",
         "q39_sanitize_pii_family", "q46_crawl_policy_family",
-        "q50_roundtrip_family",
+        "q50_roundtrip_family", "q44_lexical_family",
     }
 
 
