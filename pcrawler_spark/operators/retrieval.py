@@ -85,3 +85,34 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
         scored.orderBy(F.desc("score_ppm"), F.asc("_id")).limit(k)
         .select(F.col("_id").alias(id_col), "score_ppm", "n_terms_matched")
     )
+
+
+def rrf_fuse(ranked: Sequence[DataFrame], k_const: int = 60, topk: int = 20,
+             id_col: str = "id", rank_col: str = "rank") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
+    public): ``fused_ppm(id) = Σ_lists floor(1e6 / (k_const + rank))``.
+    The standard way to combine lexical (BM25) and vector (ANN) rankings
+    without score calibration — ranks are comparable, raw scores are not.
+
+    Inputs are ALREADY-RANKED top-k lists (id, 1-based rank) — bounded
+    frames, so the fuse is a union + one groupBy however many retrievers
+    feed it; per-element floor keeps the sum an order-free exact long.
+    Returns (id, rrf_ppm, n_lists) — ``n_lists`` tells consensus hits
+    (found by several retrievers) from single-retriever ones."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select(F.col(id_col).alias("_id"),
+                  F.col(rank_col).cast("long").alias("_r")) for r in ranked],
+    )
+    fused = u.groupBy("_id").agg(
+        F.sum(
+            F.floor(F.lit(1_000_000.0) / (F.lit(float(k_const)) + F.col("_r")))
+        ).cast("long").alias("rrf_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_ppm"), F.asc("_id")).limit(topk)
+        .select(F.col("_id").alias(id_col), "rrf_ppm", "n_lists")
+    )

@@ -93,3 +93,25 @@ def test_bm25_hand_model(spark):
     assert 3 not in got
     assert got[4][1] == 4                       # matched all four terms
     assert got[1][0] > got[2][0]                # dense short beats sparse long
+
+
+def test_rrf_fuse_consensus_and_exactness(spark):
+    """RRF: a doc ranked by BOTH lists outranks single-list docs that beat
+    it in one list; values match the independent formula exactly."""
+    import math
+
+    from pcrawler_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank long")
+    vec = spark.createDataFrame([(3, 1), (4, 2), (5, 3)], "id long, rank long")
+    got = {r["id"]: (r["rrf_ppm"], r["n_lists"])
+           for r in rrf_fuse([lex, vec], k_const=60, topk=10).collect()}
+
+    def c(rank):
+        return math.floor(1_000_000.0 / (60.0 + rank))
+
+    assert got == {
+        1: (c(1), 1), 2: (c(2), 1), 4: (c(2), 1), 5: (c(3), 1),
+        3: (c(3) + c(1), 2),            # consensus: rank-3 + rank-1
+    }
+    assert got[3][0] == max(v for v, _ in got.values())  # consensus wins

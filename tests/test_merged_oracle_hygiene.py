@@ -134,6 +134,10 @@ BRANCH_MUTATIONS = [
      "'bm25' AS variant", "'bm25_mut' AS variant"),
     ("q44_lexical_family", "bm25 saturation constant",
      "tf.tf + 1.5 * (0.25", "tf.tf + 1.4 * (0.25"),
+    ("q44_lexical_family", "hybrid RRF branch",
+     "'hybrid' AS variant", "'hybrid_mut' AS variant"),
+    ("q44_lexical_family", "hybrid RRF constant",
+     "1000000.0 / (60.0 + rank)", "1000000.0 / (61.0 + rank)"),
     # r6 merge: xlsx roundtrip ∪ WARC roundtrip
     ("q50_roundtrip_family", "xlsx branch",
      "'xlsx' AS variant", "'xlsx_mut' AS variant"),
