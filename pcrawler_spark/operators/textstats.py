@@ -343,3 +343,72 @@ def gopher_repetition_signals(df: DataFrame, top_n: int = 2, dup_n: int = 5,
         f"top{top_n}gram_char_ppm",
         f"dup{dup_n}gram_char_ppm",
     )
+
+
+def gopher_quality_gate(df: DataFrame, min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_mean_word_len: int = 3, max_mean_word_len: int = 10,
+                        min_alpha_word_ppm: int = 800_000,
+                        max_symbol_ppm: int = 100_000,
+                        min_stop_hits: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """The Gopher composite document filter (Rae et al. 2021 §A1.1 —
+    the rule set RefinedWeb/Dolma reimplement), over this module's
+    signals, with the published defaults:
+
+    * ``words``   — word count within [min_words, max_words];
+    * ``wordlen`` — mean word length within [3, 10] chars;
+    * ``alpha``   — ≥ 80 % of words contain an alphabetic character;
+    * ``symbol``  — symbol('#', '…')-to-word ratio ≤ 0.1;
+    * ``stops``   — at least ``min_stop_hits`` DISTINCT stopword markers
+      present (EN ∪ VI marker sets above).
+
+    Pure JVM column expressions; all ratios floor-ppm (exact cross-engine,
+    replayed in q23's oracle).  Returns the signal columns plus
+    ``fail_reasons`` (comma-joined rule names, '' = clean) and ``passed``.
+    """
+    text = F.trim(F.col(text_col))
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len_ppm = F.floor(
+        F.lit(1_000_000.0) * sum_len / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    alpha_ppm = F.floor(
+        F.lit(1_000_000.0)
+        * F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    n_symbols = (F.length(text)
+                 - F.length(F.regexp_replace(text, r"[#…]", "")))
+    symbol_ppm = F.floor(
+        F.lit(1_000_000.0) * n_symbols / F.greatest(n_words, F.lit(1))
+    ).cast("long")
+    markers = EN_MARKERS + VI_MARKERS
+    stop_hits = F.size(F.array_distinct(
+        F.filter(F.transform(words, F.lower),
+                 lambda w: w.isin(*markers))
+    )).cast("long")
+
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len_ppm", mean_len_ppm)
+        .withColumn("alpha_word_ppm", alpha_ppm)
+        .withColumn("symbol_ppm", symbol_ppm)
+        .withColumn("stop_hits", stop_hits)
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when((F.col("n_words") < min_words)
+               | (F.col("n_words") > max_words), F.lit("words")),
+        F.when((F.col("mean_word_len_ppm") < min_mean_word_len * 1_000_000)
+               | (F.col("mean_word_len_ppm") > max_mean_word_len * 1_000_000),
+               F.lit("wordlen")),
+        F.when(F.col("alpha_word_ppm") < min_alpha_word_ppm, F.lit("alpha")),
+        F.when(F.col("symbol_ppm") > max_symbol_ppm, F.lit("symbol")),
+        F.when(F.col("stop_hits") < min_stop_hits, F.lit("stops")),
+    )
+    return out.withColumn("fail_reasons", reasons).withColumn(
+        "passed", F.col("fail_reasons") == ""
+    )

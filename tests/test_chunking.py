@@ -133,3 +133,33 @@ def test_gopher_repetition_signals_hand_computed(spark):
     assert out[4]["dup5gram_char_ppm"] == 0
     # top 2-gram is the whole text "one two" (len 7 = n_chars) cnt 1 → 1e6
     assert out[4]["top2gram_char_ppm"] == 1_000_000
+
+
+def test_gopher_quality_gate_rules(spark):
+    from pcrawler_spark.operators.textstats import gopher_quality_gate
+
+    docs = spark.createDataFrame(
+        [
+            # clean: 50+ words, normal lengths, stopwords present
+            (1, " ".join(["the quick brown fox jumps over a lazy dog and"] * 6)),
+            (2, "too short the a"),                                  # words
+            (3, " ".join(["a"] * 60)),                               # wordlen low (mean 1)
+            (4, " ".join(["the of"] * 30) + " " + " ".join(["#"] * 20)),  # symbol+alpha
+            (5, " ".join(["alpha beta gamma delta"] * 15)),          # stops (no markers... beta has 'a'? markers are words)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_gate(docs).collect()}
+
+    assert out[1]["passed"] and out[1]["fail_reasons"] == ""
+    assert "words" in out[2]["fail_reasons"] and not out[2]["passed"]
+    assert "wordlen" in out[3]["fail_reasons"]
+    assert "symbol" in out[4]["fail_reasons"] and "alpha" in out[4]["fail_reasons"]
+    assert "stops" in out[5]["fail_reasons"]
+
+    # exact signal check for doc 1: 60 words, sum_len known
+    words = (" ".join(["the quick brown fox jumps over a lazy dog and"] * 6)).split(" ")
+    assert out[1]["n_words"] == len(words)
+    assert out[1]["mean_word_len_ppm"] == 1_000_000 * sum(len(w) for w in words) // len(words)
+    assert out[1]["alpha_word_ppm"] == 1_000_000
+    assert out[1]["stop_hits"] == 3  # 'the', 'a', 'and'

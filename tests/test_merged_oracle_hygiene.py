@@ -65,6 +65,21 @@ BRANCH_MUTATIONS = [
     ("q23_quality_lang", "punct ratio",
      "n_punct / GREATEST(n_chars, 1)) AS BIGINT) AS punct_ppm",
      "n_punct / GREATEST(n_chars, 1)) + 1 AS BIGINT) AS punct_ppm"),
+    # r6 columns: Gopher composite gate.  The stops rule actually fires on
+    # this corpus (label mutation moves rows); the other rules pass
+    # everywhere here, so their SIGNAL columns get +1 mutations (the
+    # punct_ppm precedent) and the pass bit gets a value mutation
+    ("q23_quality_lang", "gopher stops rule label",
+     "THEN 'stops' END", "THEN 'stops_mut' END"),
+    ("q23_quality_lang", "gopher mean-word-len signal",
+     "FLOOR(1000000.0 * sum_len / GREATEST(n_words, 1))",
+     "FLOOR(1000000.0 * sum_len / GREATEST(n_words, 1)) + 1"),
+    ("q23_quality_lang", "gopher alpha signal",
+     "FLOOR(1000000.0 * n_alpha / GREATEST(n_words, 1))",
+     "FLOOR(1000000.0 * n_alpha / GREATEST(n_words, 1)) + 1"),
+    ("q23_quality_lang", "gopher pass bit",
+     "CASE WHEN g3.fail_reasons = '' THEN 1 ELSE 0 END",
+     "CASE WHEN g3.fail_reasons = '' THEN 2 ELSE 0 END"),
     ("q55_chunk_pack", "chunking",
      "ceil(len(toks) / 64.0)", "ceil(len(toks) / 63.0)"),
     ("q55_chunk_pack", "packing",
