@@ -7,16 +7,22 @@ which is the degenerate uniform-priority case; this operator is the general
 scorer a web-scale frontier needs).  Public algorithm: Page, Brin, Motwani,
 Winograd 1999, "The PageRank Citation Ranking".
 
-**Fixed-point integer-ppm formulation** — ranks are parts-per-million longs
-so every iteration is exactly replayable in ANSI SQL (the q46 oracle):
+**Fixed-point integer formulation, N-independent resolution** — ranks are
+stored as ppm of the UNIFORM share (i.e. 1e6 × N × p): the uniform
+distribution is exactly 1_000_000 at every node regardless of graph size.
+An absolute-ppm encoding (1e6 × p) was the first cut and it COLLAPSES at
+web scale — at N ≥ 1e6 nodes, init 1e6//N = 1 and the teleport term
+floors to 0, so every rank is 0 (caught by the 2M-edge scale test).  The
+relative encoding cancels N out of the recurrence entirely:
 
-* init:       rank0 = 1_000_000 // N                      (integer division)
-* iterate:    rank_{t+1}(v) = (1_000_000 − d_ppm) // N
-              + Σ_{u→v} floor(rank_t(u) × d_ppm / (1e6 × outdeg(u)))
-* the per-edge product rank×d_ppm ≤ 8.5e11 < 2^53, so the one double
-  division is IEEE-754 correctly rounded and ``floor`` of it is
-  bit-identical in Spark and DuckDB (same discipline as the repo's other
-  floor-ppm kernels).
+* init:       rank0 = 1_000_000
+* iterate:    rank_{t+1}(v) = (1_000_000 − d_ppm)
+              + Σ_{u→v} (rank_t(u) × d_ppm) div (1e6 × outdeg(u))
+* every operation is EXACT 64-bit integer arithmetic (``div`` = integral
+  division — no doubles anywhere), replayable verbatim in ANSI SQL (the
+  q46 oracle) and safe up to rank ≈ 1.08e13, i.e. a node holding 10^7×
+  the uniform share.  A bonus: no global node count is needed, so the
+  operator runs ZERO driver actions.
 
 Dangling nodes (no out-edges) leak their mass — the standard simplified
 treatment; total mass is therefore not conserved, which is fine for
@@ -45,16 +51,16 @@ def pagerank_ppm(edges: DataFrame, damping_ppm: int = 850_000, iters: int = 3,
     ``edges`` should be duplicate-free (each u→v once) — dedupe upstream if
     the extractor emits one row per anchor.  Self-loops are dropped here
     (they only recycle a node's own mass and break the outdeg accounting).
-    One bounded driver action (the node count, a scalar) — N is needed as
-    an exact integer in the init/teleport terms.
+    Fully lazy: zero driver actions (the N-relative encoding needs no
+    global count).  rank_ppm = 1_000_000 ≡ the uniform share.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    # lazy local checkpoints (same discipline as operators/concomp.py): the
-    # node-count action below materializes both, so the dedup/distinct
+    # lazy local checkpoints (same discipline as operators/concomp.py):
+    # the caller's first action materializes both, so the dedup/distinct
     # shuffles run ONCE and every iteration's joins reuse the stored blocks
     # instead of re-deriving the edge set from source each round (audited:
     # 33 exchanges → 12 for iters=3 at sf0.01).  Blocks live until session
@@ -63,22 +69,19 @@ def pagerank_ppm(edges: DataFrame, damping_ppm: int = 850_000, iters: int = 3,
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint(eager=False)
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank_ppm", F.lit(0).cast("long"))
-    base = (1_000_000 - damping_ppm) // n
+    base = 1_000_000 - damping_ppm
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ranks = nodes.withColumn("rank_ppm", F.lit(1_000_000 // n).cast("long"))
+    ranks = nodes.withColumn("rank_ppm", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.floor(
-                    F.col("rank_ppm") * F.lit(float(damping_ppm))
-                    / (F.lit(1_000_000.0) * F.col("od"))
+                F.expr(
+                    f"(rank_ppm * CAST({damping_ppm} AS BIGINT))"
+                    f" div (CAST(1000000 AS BIGINT) * od)"
                 ).cast("long").alias("c_ppm"),
             )
         )

@@ -2,20 +2,19 @@
 
 
 def _py_pagerank_ppm(edges, damping_ppm=850_000, iters=3):
-    """Independent driver-side reimplementation of the exact contract."""
+    """Independent driver-side reimplementation of the exact contract
+    (N-relative encoding: 1e6 = the uniform share; pure integer div)."""
     e = sorted({(u, v) for u, v in edges if u != v})
     nodes = sorted({u for u, _ in e} | {v for _, v in e})
-    n = len(nodes)
     od = {}
     for u, _ in e:
         od[u] = od.get(u, 0) + 1
-    base = (1_000_000 - damping_ppm) // n
-    rank = {v: 1_000_000 // n for v in nodes}
-    import math
+    base = 1_000_000 - damping_ppm
+    rank = {v: 1_000_000 for v in nodes}
     for _ in range(iters):
         acc = {v: 0 for v in nodes}
         for u, v in e:
-            acc[v] += math.floor(rank[u] * float(damping_ppm) / (1_000_000.0 * od[u]))
+            acc[v] += (rank[u] * damping_ppm) // (1_000_000 * od[u])
         rank = {v: base + acc[v] for v in nodes}
     return rank
 
@@ -30,8 +29,9 @@ def test_pagerank_hand_graph(spark):
     want = _py_pagerank_ppm(edges)
     assert got == want
     assert got[0] == max(got.values())
-    # nodes 2..4 are dangling-in only (no in-links) → exactly the base term
-    assert got[2] == got[3] == got[4] == (1_000_000 - 850_000) // 5
+    # nodes 2..4 are dangling-in only (no in-links) → exactly the teleport
+    # base, N-independent in the relative encoding
+    assert got[2] == got[3] == got[4] == 1_000_000 - 850_000
 
 
 def test_pagerank_chain_and_dangling_mass(spark):
