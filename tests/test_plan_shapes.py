@@ -264,3 +264,21 @@ def test_gopher_signals_plan_shape(spark):
     assert "CartesianProduct" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_bm25_plan_topk_and_term_filter_first(spark):
+    """bm25: the final top-k must be TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows — never a global Sort), the query-term
+    IN-filter must sit in the scan chain before any join, and the IDF
+    table must broadcast."""
+    from pcrawler_spark.operators.retrieval import bm25_topk
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(bm25_topk(d, ("spark", "vector", "window", "join"), k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the explode feeds a tok IN (...) filter — present as a Filter cond
+    assert plan.count("spark") >= 1 and "tok" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
