@@ -233,19 +233,49 @@ def _resize_ppm(payload: bytes, tw: int, th: int) -> Optional[bytes]:
     return b"P6\n%d %d\n%d\n" % (tw, th, maxval) + out.tobytes()
 
 
+def _resize_bmp(payload: bytes, tw: int, th: int) -> Optional[bytes]:
+    """REAL nearest-neighbor resize of a 24-bit BMP (same index sampling
+    as :func:`_resize_ppm`), re-encoded top-down (negative biHeight — a
+    valid, simpler layout; round-trips through :func:`_parse_bmp`)."""
+    parsed = _parse_bmp(bytes(payload)) if payload is not None else None
+    if parsed is None:
+        return None
+    w, h, raw = parsed  # RGB, top-down array
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    out = raw[ys][:, xs]
+    row_bytes = (tw * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - tw * 3)
+    raster = b"".join(out[r, :, ::-1].tobytes() + pad for r in range(th))
+    header = (b"BM"
+              + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + tw.to_bytes(4, "little", signed=True)
+              + (-th).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + raster
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """media(binary payload) → resized payloads via ``mapInPandas``.  PPM
-    rasters are REALLY resized (nearest-neighbor); codec-bound formats
-    (jpeg/...) pass through unchanged with ``resize_ok=false`` — the decode
-    seam where PIL/ffmpeg slots in at production (same stub contract as
-    :func:`_fake_decode_features`)."""
+    and 24-bit BMP rasters are REALLY resized (nearest-neighbor);
+    codec-bound formats (jpeg/...) pass through unchanged with
+    ``resize_ok=false`` — the decode seam where PIL/ffmpeg slots in at
+    production (same stub contract as :func:`_fake_decode_features`)."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             payloads, ws, hs, ok = [], [], [], []
             for payload in pdf["payload"]:
                 try:
-                    resized = _resize_ppm(payload, width, height)
+                    if payload is not None and bytes(payload)[:2] == b"BM":
+                        resized = _resize_bmp(payload, width, height)
+                    else:
+                        resized = _resize_ppm(payload, width, height)
                 except Exception:
                     resized = None
                 if resized is None:

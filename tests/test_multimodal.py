@@ -157,3 +157,25 @@ def test_bmp_real_decode_padding_and_row_order():
     codec, feats, ok = _decode_one(up[:20])
     assert codec == "bmp" and not ok and feats is None
     assert _decode_bmp(b"BM" + b"\x00" * 60) is None  # zero-dim header
+
+
+def test_resize_images_handles_bmp(spark):
+    """resize_images really resizes BMP payloads (nearest-neighbor), keeps
+    codec-bound payloads flagged pass-through, and the resized BMP
+    re-decodes at the new dimensions."""
+    from pcrawler_spark.operators.multimodal import (_decode_one, make_bmp,
+                                                     make_ppm, resize_images)
+
+    media = spark.createDataFrame(
+        [(1, "image", make_bmp(16, 12, 1), 16, 12, 0),
+         (2, "image", make_ppm(16, 12, 2), 16, 12, 0),
+         (3, "video", bytes([7] * 60), None, None, 3000)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+    assert out[1]["resize_ok"] and out[2]["resize_ok"] and not out[3]["resize_ok"]
+    codec, feats, ok = _decode_one(bytes(out[1]["payload"]))
+    assert codec == "bmp" and ok and feats[0] == 8.0 and feats[1] == 6.0
+    codec, feats, ok = _decode_one(bytes(out[2]["payload"]))
+    assert codec == "ppm" and ok and feats[0] == 8.0
+    assert bytes(out[3]["payload"]) == bytes([7] * 60)  # untouched
