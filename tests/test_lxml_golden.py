@@ -165,7 +165,43 @@ GOLDEN_MALFORMED_TEXT = [
     ("<div class=a class=b>x</div>", "x"),
     # <pre> keeps literal newlines (no parser-side whitespace collapse)
     ("<pre>a\nb</pre>", "a\nb"),
+    # --- r6 late additions (same discipline: pin OUR recovery) ---
+    # NUL byte passes through as text (WHATWG replaces with U+FFFD,
+    # libxml2 truncates the text node — corpus pages never carry NULs;
+    # pinned so drift is visible)
+    ("<p>a\x00b</p>", "a\x00b"),
+    # mis-nested formatting tags (the WHATWG adoption-agency case):
+    # both recoveries preserve document text order
+    ("<b>a<i>b</b>c</i>", "abc"),
+    # stray text inside <table>: WHATWG foster-parents it BEFORE the
+    # table; either way document text order is x then y
+    ("<table>x<tr><td>y</td></tr></table>", "xy"),
+    # tag names are case-insensitive; mixed-case close still matches
+    ("<DIV>a</div>", "a"),
+    # stray end tag with nothing open is dropped (WHATWG inserts an
+    # empty <p> for </p>; text is invariant)
+    ("<p>a</p></p><p>b</p>", "ab"),
+    # comment-lookalike inside script raw text stays literal text
+    ("<script>// <!-- x --> y</script>z", "// <!-- x --> yz"),
+    # consecutive unclosed <li> (the <option> rule's list cousin)
+    ("<ul><li>a<li>b</ul>", "ab"),
+    # prefix-overlapping named entities resolve longest-match with ';'
+    ("<p>&notin; &not;x</p>", "\u2209 \u00acx"),
+    # XML-style self-closed foreign element: subtree content is empty,
+    # following text survives
+    ("<svg><circle r=1 /></svg>after", "after"),
 ]
+
+
+# entities resolve inside ATTRIBUTE values too (libxml2 and html.parser
+# agree; the email/URL kernels depend on the decoded form)
+def test_attribute_entity_decoding():
+    from pcrawler_spark.html import xpath
+
+    root = parse_html('<a title="x&amp;y" href="?a=1&amp;b=2">t</a>')
+    a = xpath(root, "//a")[0]
+    assert a.get("title") == "x&y"
+    assert a.get("href") == "?a=1&b=2"
 
 
 def test_malformed_html_text_recovery():
