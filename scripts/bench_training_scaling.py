@@ -41,31 +41,12 @@ sys.path.insert(0, REPO)
 N_DOCS = int(os.environ.get("TRAIN_SCALE_DOCS", "60000"))
 MODE = os.environ.get("TRAIN_SCALE_MODE", "strong")
 
-_WORDS = ("the data engine reads a stream of pages and the tokens flow into "
-          "shards while the quality gate keeps the clean text and the dedup "
-          "stage drops a copy of every page it has seen before so the corpus "
-          "stays small and the training run is fast and stable").split()
-
-
-def _h(base: int, j: int) -> int:
-    x = (base * 2654435761 + j * 40503 + 7) & 0xFFFFFFFF
-    return x ^ (x >> 13)
-
-
-def _doc_text(i: int) -> str:
-    base = i % 5000
-    # hashed per-(base, position) word choice: a rotation of one word list
-    # would make ALL bases share ~90% of their 2-gram shingles (cyclic
-    # adjacency is rotation-invariant) and LSH would full-mesh the corpus
-    words = [_WORDS[_h(base, j) % len(_WORDS)] for j in range(50)]
-    kind = i % 10
-    if kind < 2 and i >= 5000:            # 20%: exact duplicate of an earlier doc
-        pass
-    elif kind < 4 and i >= 5000:          # 20%: near-duplicate (1-word edit)
-        words[3] = f"tok{i % 97}"
-    else:                                 # 60%: unique suffix
-        words.append(f"unique{i}")
-    return " ".join(words)
+# the generator itself lives in the package so its mapInPandas closure is
+# importable by executor workers from the shipped pyFiles zip — defined here
+# it pickles by reference to this scripts/ module, which workers cannot
+# import (the cold-cache failure recorded in BENCH_r06.json)
+from pcrawler_spark.sources.trainingdocs import (  # noqa: E402,F401
+    _doc_text, generate_training_docs)
 
 
 def corpus_path(n_docs: int) -> str:
@@ -76,22 +57,7 @@ def ensure_corpus(spark, n_docs: int) -> str:
     path = corpus_path(n_docs)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-
-    def gen(batches):
-        import pandas as pd
-
-        for b in batches:
-            ids = b["id"].tolist()
-            yield pd.DataFrame(
-                {"doc_id": ids, "text": [_doc_text(i) for i in ids]}
-            )
-
-    # distributed generation (text is a pure function of doc_id); 128
-    # files: several task waves at 16 cores (straggler ≪ wall)
-    df = spark.range(0, n_docs, numPartitions=128).mapInPandas(
-        gen, "doc_id long, text string"
-    )
-    df.write.mode("overwrite").parquet(path)
+    generate_training_docs(spark, n_docs).write.mode("overwrite").parquet(path)
     return path
 
 
