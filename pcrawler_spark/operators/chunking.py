@@ -21,8 +21,10 @@ def token_chunks(docs: DataFrame, chunk_size: int = 64,
     token, mirroring SQL ``string_split`` semantics so the oracle agrees.
 
     Scale shape: one projection + posexplode — embarrassingly parallel, no
-    shuffle at all."""
-    toks = F.split(F.trim(F.col(text_col)), " ")
+    shuffle at all.  The split is materialized as a column before the
+    window slide (r7): an inline alias is re-inlined into the transform
+    lambda and re-evaluated per element — O(tokens²) per doc."""
+    toks = F.col("_w")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_size))).cast("int")
     windows = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -30,6 +32,9 @@ def token_chunks(docs: DataFrame, chunk_size: int = 64,
     )
     return docs.select(
         F.col(id_col).cast("long").alias(id_col),
+        F.split(F.trim(F.col(text_col)), " ").alias("_w"),
+    ).select(
+        id_col,
         F.posexplode(windows).alias("chunk_id", "_ctoks"),
     ).select(
         id_col,

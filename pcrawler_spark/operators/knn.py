@@ -184,14 +184,24 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9, n_bits: int = 16
 def assign_cells(corpus_e: DataFrame, cents: DataFrame, round_dp: int = 6) -> DataFrame:
     """Assign each (id, v) row to its max-cosine cell (rounded cosine,
     cell-id tiebreak — deterministic and engine-portable).  The centroid
-    table is tiny (n_cells rows) and broadcast."""
-    w = Window.partitionBy("id").orderBy(F.col("_cc").desc(), F.col("cell").asc())
+    table is tiny (n_cells rows) and broadcast.
+
+    The argmax is ONE map-side-combinable aggregation — max over a
+    ``(cosine, -cell)`` struct (the negated cell turns the asc tiebreak
+    into a max) — instead of the former row_number window: the n_cells-wide
+    candidate rows combine to one row per id BEFORE the exchange and the
+    per-partition sort disappears (r7; identical output, pinned by the
+    q30/q49 oracles).  ``(_cc, _nc)`` is unique per id (cells are
+    distinct), so the trailing cell/v fields never participate in the
+    comparison."""
     return (
         corpus_e.crossJoin(F.broadcast(cents))
         .withColumn("_cc", F.round(cosine_similarity_col(F.col("v"), F.col("centroid")), round_dp))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "v", "cell")
+        .groupBy("id")
+        .agg(F.max(F.struct(
+            F.col("_cc"), (-F.col("cell")).alias("_nc"), F.col("cell"), F.col("v")
+        )).alias("_m"))
+        .select("id", F.col("_m.v").alias("v"), F.col("_m.cell").alias("cell"))
     )
 
 
@@ -380,6 +390,7 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
     e = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    init_rows = None
     if fit_sample_mod:
         from .simdedup import _h32
 
@@ -387,8 +398,16 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
         # guard: on a small corpus the hash sample can carry fewer vectors
         # than n_codes (or none), silently under-sizing the codebook and
         # degrading every downstream encode/topk — fall back to the full
-        # corpus then.  limit(n_codes) bounds the check to a cheap action.
-        if sampled.limit(n_codes).count() >= n_codes:
+        # corpus then.  For min-id init the guard IS the init collect (the
+        # first n_codes sampled rows by id), so the two driver jobs fuse
+        # into one (r7); the distinct-init path keeps the cheap
+        # limit-count guard.
+        if init == "minid":
+            rows = sampled.orderBy("id").limit(n_codes).collect()
+            if len(rows) >= n_codes:
+                e = sampled
+                init_rows = rows
+        elif sampled.limit(n_codes).count() >= n_codes:
             e = sampled
     sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
           .select("id", "_s.sub", "_s.sv")
@@ -411,7 +430,8 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
         )
         cb = {(r["sub"], r["_rn"] - 1): list(r["sv"]) for r in seed_rows}
     else:
-        rows0 = e.orderBy("id").limit(n_codes).collect()
+        rows0 = init_rows if init_rows is not None else \
+            e.orderBy("id").limit(n_codes).collect()
         cb = {
             (s, c): list(r["v"])[s * sub_dim:(s + 1) * sub_dim]
             for c, r in enumerate(rows0) for s in range(m_sub)
@@ -423,13 +443,18 @@ def pq_fit(corpus: DataFrame, dim: int, m_sub: int = 4, n_codes: int = 8,
             "sub int, code int, cvec array<double>",
         )
 
-    w = Window.partitionBy("id", "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    # argmin code per (id, sub) as ONE map-side-combinable struct-min
+    # aggregation instead of a row_number window (r7): the n_codes-wide
+    # candidate rows combine before the exchange and the sort disappears.
+    # (_d, code) is unique within the group, so the sv field rides along
+    # without ever being compared.
     for _ in range(n_iter):
         assigned = (
             sv.join(F.broadcast(cdf()), "sub")
             .withColumn("_d", F.round(_sq_l2(F.col("sv"), F.col("cvec")), round_dp))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .groupBy("id", "sub")
+            .agg(F.min(F.struct("_d", "code", "sv")).alias("_m"))
+            .select("sub", F.col("_m.code").alias("code"), F.col("_m.sv").alias("sv"))
         )
         upd = (
             assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
@@ -451,20 +476,25 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, dim: int, m_sub: int,
               round_dp: int = 6) -> DataFrame:
     """(id, sub, code): each subvector assigned to its nearest codebook
     entry (rounded L2, code tiebreak).  This is the compressed corpus —
-    m_sub small ints per vector."""
+    m_sub small ints per vector.
+
+    The argmin is a map-side-combinable struct-min aggregation, not a
+    row_number window (r7): the n_codes candidate rows per (id, sub)
+    combine before the exchange and the per-partition sort disappears —
+    at 10^10 vectors this stage touches every vector, so the win scales
+    with the corpus.  Identical output (q53/q54/q58 oracles)."""
     sub_dim = dim // m_sub
     e = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     sv = e.select("id", _explode_subvectors(F.col("v"), m_sub, sub_dim).alias("_s")) \
           .select("id", "_s.sub", "_s.sv")
-    w = Window.partitionBy("id", "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
     return (
         sv.join(F.broadcast(codebook), "sub")
         .withColumn("_d", F.round(_sq_l2(F.col("sv"), F.col("cvec")), round_dp))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "sub", "code")
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("_d", "code")).alias("_m"))
+        .select("id", "sub", F.col("_m.code").alias("code"))
     )
 
 

@@ -41,13 +41,29 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingles(text_col: str, n: int = 3):
-    words = F.split(F.trim(F.col(text_col)), " ")
+def _shingles_of(words, n: int = 3):
+    """Distinct n-gram shingles from a PRE-MATERIALIZED token-array column.
+
+    The tokens MUST be a real column, not an inline ``split()`` alias:
+    Catalyst inlines single-use aliases into the ``transform`` lambda and
+    re-evaluates the split per element — O(tokens²) per doc (the winnowing
+    kernel documents the same trap; measured 3.1× on the k-gram pass at
+    sf0.1).  Callers project ``split(trim(text), ' ')`` into a column first
+    (``_with_words``)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
+    )
+
+
+def _with_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, _w): the whitespace token array as a materialized column —
+    the split runs once per row (see :func:`_shingles_of`)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_w"),
     )
 
 
@@ -69,7 +85,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     sizes stay full-set, so capped pairs can only under-estimate Jaccard
     (standard recall/cost trade, never a false positive).
     """
-    sh = df.select(F.col(id_col).alias("doc"), _shingles(text_col, n).alias("sh"))
+    sh = _with_words(df, id_col, text_col).select(
+        "doc", _shingles_of(F.col("_w"), n).alias("sh"))
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     inv = sh.select("doc", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
@@ -134,7 +151,8 @@ def _minhash_wide(df: DataFrame, n_hashes: int, id_col: str, text_col: str,
         # to a handful of tasks (repartition with an explicit count is exempt
         # from AQE coalescing; measured 16-core md5 stage otherwise ran ~6-wide)
         .repartition(n_part, "doc")
-        .select("doc", F.explode(_shingles("_t", n)).alias("shingle"))
+        .select("doc", F.split(F.trim(F.col("_t")), " ").alias("_w"))
+        .select("doc", F.explode(_shingles_of(F.col("_w"), n)).alias("shingle"))
         .withColumn("h0", _h32(F.col("shingle")) % _MH_P)
     )
     aggs = []
@@ -376,7 +394,10 @@ def _gram_hits(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
     entirely JVM-side (split / transform / posexplode; no Python, no
     shuffle); ``gh`` is the 64-bit xxhash of the gram text so downstream
     shuffles/joins carry fixed-width keys, never the gram strings."""
-    words = F.split(F.trim(F.col(text_col)), " ")
+    # the split is projected into a real column first: an inline alias is
+    # re-inlined into the transform lambda by Catalyst and re-evaluated per
+    # element — O(tokens²) per doc (see _shingles_of; measured 3.1× here)
+    words = F.col("_w")
     grams = F.when(
         F.size(words) >= k,
         F.transform(
@@ -384,8 +405,8 @@ def _gram_hits(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc"),
+    return _with_words(df, id_col, text_col).select(
+        "doc",
         F.posexplode(grams).alias("pos", "gram"),
     ).select("doc", F.col("pos").cast("long").alias("pos"),
              F.xxhash64("gram").alias("gh"))
@@ -406,6 +427,10 @@ def _merge_span_islands(marked: DataFrame, k: int, id_col: str) -> DataFrame:
                             .otherwise(F.lit(1)))
         .withColumn("island", F.sum("brk").over(w))
     )
+    # output order is UNSPECIFIED (the q62 contract): a global orderBy here
+    # would re-introduce a full-output sort — span output is proportional to
+    # corpus size on a near-dup-heavy corpus.  Consumers that need an order
+    # (oracles, tests, reports) sort their own bounded slices.
     return (
         islands.groupBy("doc", "island")
         .agg(F.min("pos").alias("span_start"),
@@ -415,7 +440,6 @@ def _merge_span_islands(marked: DataFrame, k: int, id_col: str) -> DataFrame:
                 F.col("span_start").cast("long"),
                 F.col("span_end").cast("long"),
                 F.col("n_grams").cast("long"))
-        .orderBy(id_col, "span_start")
     )
 
 

@@ -220,11 +220,17 @@ def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     floor(1e6 × (1 − distinct/total)) over word n-grams; pure integer
     counts, so it is exactly engine-portable.  Returns
     (id, n_shingles, dup_ratio_ppm)."""
-    # NOT _shingles(): that one array_distincts for the dedup joins — the
-    # repetition ratio needs RAW shingle counts
-    words = F.split(F.trim(F.col(text_col)), " ")
+    # NOT _shingles_of(): that one array_distincts for the dedup joins — the
+    # repetition ratio needs RAW shingle counts.  The split is materialized
+    # as a column first (r7): an inline alias is re-inlined into the
+    # transform lambda and re-evaluated per element — O(tokens²) per doc
+    # (same trap the winnowing kernel documents).
+    words = F.col("_w")
     raw = df.select(
         F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_w"),
+    ).select(
+        "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),

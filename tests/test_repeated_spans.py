@@ -16,13 +16,28 @@ from pcrawler_spark.operators.simdedup import (contaminated_spans,
 
 def _spans(spark, docs, **kw):
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    return [tuple(r) for r in repeated_ngram_spans(df, **kw).collect()]
+    # operator output order is unspecified (r7, the q62 contract) —
+    # this bounded consumer sorts its own slice
+    return sorted(tuple(r) for r in repeated_ngram_spans(df, **kw).collect())
 
 
 def _contam(spark, docs, bench, **kw):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     b = spark.createDataFrame(bench, "doc_id long, text string")
-    return [tuple(r) for r in contaminated_spans(df, b, **kw).collect()]
+    return sorted(tuple(r) for r in contaminated_spans(df, b, **kw).collect())
+
+
+def test_no_global_sort_in_span_operator_plan(spark):
+    """The span operators must not end in a global Sort (span output is
+    corpus-sized on a near-dup-heavy corpus; output order is unspecified).
+    The only Sort allowed is the window's per-partition sort inside the
+    island merge — i.e. no Exchange rangepartitioning anywhere."""
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c d")],
+                               "doc_id long, text string")
+    for op in (repeated_ngram_spans(df, k=3),
+               contaminated_spans(df, df, k=3)):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan, plan
 
 
 def test_cross_doc_duplicate_passage_cuts_only_the_copy(spark):
