@@ -30,9 +30,17 @@ SKIP_TEXT_TAGS = frozenset({"script", "style", "noscript", "template"})
 
 
 class Element:
-    """One element node. ``children`` holds Elements and str text nodes."""
+    """One element node. ``children`` holds Elements and str text nodes.
 
-    __slots__ = ("tag", "attrs", "children", "parent", "ordinal")
+    ``tag_index`` is populated only on the #document root by
+    :func:`parse_html`: tag → list of elements in document order, built
+    incrementally DURING parsing (no extra walk).  Kernels that evaluate
+    many descendant-axis XPath patterns against one page (the 13-field
+    detail extractor) use it instead of re-walking the whole tree per
+    pattern — the walks were ~50% of per-page extraction CPU (r7 profile).
+    """
+
+    __slots__ = ("tag", "attrs", "children", "parent", "ordinal", "tag_index")
 
     def __init__(self, tag: str, attrs: dict, parent: Optional["Element"], ordinal: int):
         self.tag = tag
@@ -40,6 +48,7 @@ class Element:
         self.children: list[Union[Element, str]] = []
         self.parent = parent
         self.ordinal = ordinal
+        self.tag_index: Optional[dict] = None
 
     def get(self, name: str, default=None):
         return self.attrs.get(name, default)
@@ -93,21 +102,40 @@ class _TreeBuilder(HTMLParser):
         self._ordinal = 0
         self.root = Element("#document", {}, None, self._ordinal)
         self._stack = [self.root]
+        # document-order tag index, built as elements are created
+        self.tags: dict = {}
 
     def _next_ordinal(self) -> int:
         self._ordinal += 1
         return self._ordinal
 
+    def updatepos(self, i, j):
+        # line/column tracking exists only for getpos(), which nothing in
+        # this engine calls — the per-chunk newline counting it does was a
+        # measured ~6% of parse CPU (r7).  Contract: return the end index.
+        return j
+
     def handle_starttag(self, tag, attrs):
         parent = self._stack[-1]
         el = Element(tag, dict(attrs), parent, self._next_ordinal())
         parent.children.append(el)
+        idx = self.tags.get(tag)
+        if idx is None:
+            self.tags[tag] = [el]
+        else:
+            idx.append(el)
         if tag not in _VOID:
             self._stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
         parent = self._stack[-1]
-        parent.children.append(Element(tag, dict(attrs), parent, self._next_ordinal()))
+        el = Element(tag, dict(attrs), parent, self._next_ordinal())
+        parent.children.append(el)
+        idx = self.tags.get(tag)
+        if idx is None:
+            self.tags[tag] = [el]
+        else:
+            idx.append(el)
 
     def handle_endtag(self, tag):
         # Pop to the nearest matching open tag; ignore stray end tags.
@@ -148,4 +176,5 @@ def parse_html(html: Union[str, bytes, None]) -> Optional[Element]:
         builder.close()
     except Exception:
         return None
+    builder.root.tag_index = builder.tags
     return builder.root

@@ -42,13 +42,47 @@ class _Pred:
     KIND_NORM_SPACE_EQ = "norm_space_eq"
     KIND_CHILD = "child"
 
-    __slots__ = ("kind", "a", "b", "child_step")
+    __slots__ = ("kind", "a", "b", "child_step", "check")
 
     def __init__(self, kind, a=None, b=None, child_step=None):
         self.kind = kind
         self.a = a
         self.b = b
         self.child_step = child_step
+        # compile the check into a closure ONCE at parse time (patterns are
+        # parse-cached, so this is amortized over every page): the per-node
+        # string-kind dispatch in the old _pred_holds was measured hot (r7)
+        self.check = self._compile()
+
+    def _compile(self):
+        a, b = self.a, self.b
+        if self.kind == _Pred.KIND_ATTR_EQ:
+            return lambda el: el.attrs.get(a) == b
+        if self.kind == _Pred.KIND_ATTR_CONTAINS:
+            def check(el):
+                v = el.attrs.get(a)
+                return v is not None and b in v
+            return check
+        if self.kind == _Pred.KIND_ATTR_STARTS:
+            def check(el):
+                v = el.attrs.get(a)
+                return v is not None and v.startswith(b)
+            return check
+        if self.kind == _Pred.KIND_TEXT_CONTAINS:
+            def check(el):
+                # XPath contains(text(), v): true if the FIRST text-node
+                # child contains v (lxml uses the first of the text() set)
+                for c in el.children:
+                    if isinstance(c, str):
+                        return a in c
+                return False
+            return check
+        if self.kind == _Pred.KIND_NORM_SPACE_EQ:
+            return lambda el: " ".join(el.text_content().split()) == a
+        if self.kind == _Pred.KIND_CHILD:
+            cs = self.child_step
+            return lambda el: bool(_apply_step([el], cs))
+        return None  # positional: handled structurally in _apply_step
 
 
 class _Step:
@@ -184,39 +218,42 @@ def _node_test(el: Element, tag: str) -> bool:
 
 
 def _pred_holds(el: Element, pred: _Pred) -> bool:
-    if pred.kind == _Pred.KIND_ATTR_EQ:
-        return el.get(pred.a) == pred.b
-    if pred.kind == _Pred.KIND_ATTR_CONTAINS:
-        v = el.get(pred.a)
-        return v is not None and pred.b in v
-    if pred.kind == _Pred.KIND_ATTR_STARTS:
-        v = el.get(pred.a)
-        return v is not None and v.startswith(pred.b)
-    if pred.kind == _Pred.KIND_TEXT_CONTAINS:
-        # XPath contains(text(), v): true if the FIRST text-node child
-        # contains v (lxml uses the first node of the text() node-set).
-        for c in el.children:
-            if isinstance(c, str):
-                return pred.a in c
-        return False
-    if pred.kind == _Pred.KIND_NORM_SPACE_EQ:
-        return " ".join(el.text_content().split()) == pred.a
-    if pred.kind == _Pred.KIND_CHILD:
-        return bool(_apply_step([el], pred.child_step))
-    raise XPathError(f"positional predicate handled elsewhere: {pred.kind}")
+    """Kept as the readable reference semantics; the hot path calls the
+    closure compiled by ``_Pred._compile`` (identical behavior)."""
+    if pred.check is None:
+        raise XPathError(f"positional predicate handled elsewhere: {pred.kind}")
+    return pred.check(el)
 
 
 def _apply_step(context: List[Element], step: _Step) -> List[Element]:
     # gather candidates in document order, dedup across context nodes
-    seen = set()
-    cands: List[Element] = []
-    for node in context:
-        it = node.iter_descendants() if step.axis == "descendant" else iter(node.child_elements())
-        for el in it:
-            if _node_test(el, step.tag) and id(el) not in seen:
-                seen.add(id(el))
-                cands.append(el)
-    cands.sort(key=lambda e: e.ordinal)
+    if len(context) == 1:
+        # single context node: one preorder traversal is already document
+        # order with no duplicates — no seen-set, no sort.  A root carrying
+        # the parse-time tag index answers descendant steps without any
+        # walk at all (r7: the 13-pattern detail extractor re-walked the
+        # whole tree per pattern — ~50% of per-page CPU).
+        node = context[0]
+        if step.axis == "descendant":
+            idx = node.tag_index
+            if idx is not None and step.tag != "*":
+                cands = idx.get(step.tag, [])
+            else:
+                cands = [el for el in node.iter_descendants()
+                         if _node_test(el, step.tag)]
+        else:
+            cands = [el for el in node.child_elements()
+                     if _node_test(el, step.tag)]
+    else:
+        seen = set()
+        cands = []
+        for node in context:
+            it = node.iter_descendants() if step.axis == "descendant" else iter(node.child_elements())
+            for el in it:
+                if _node_test(el, step.tag) and id(el) not in seen:
+                    seen.add(id(el))
+                    cands.append(el)
+        cands.sort(key=lambda e: e.ordinal)
     for pred in step.preds:
         if pred.kind == _Pred.KIND_POS:
             # position is evaluated per parent context group
@@ -229,7 +266,8 @@ def _apply_step(context: List[Element], step: _Step) -> List[Element]:
                     kept.append(el)
             cands = kept
         else:
-            cands = [el for el in cands if _pred_holds(el, pred)]
+            check = pred.check
+            cands = [el for el in cands if check(el)]
     return cands
 
 

@@ -107,9 +107,9 @@ def score_contact_links(html: Union[str, bytes, None], base_url: str,
     seen = set()
     scored = []  # (-score, doc_order, url)
     order = 0
-    for el in root.iter():
-        if el.tag != "a":
-            continue
+    anchors = (root.tag_index.get("a", ()) if root.tag_index is not None
+               else (el for el in root.iter() if el.tag == "a"))
+    for el in anchors:
         href = el.get("href")
         if not href or href.startswith(("#", "mailto:", "javascript:")):
             continue

@@ -29,12 +29,15 @@ def extract_company_links(html: Union[str, bytes, None], root=None) -> List[str]
         return []
     seen = set()
     out: List[str] = []
-    for el in root.iter():
-        if el.tag == "a":
-            href = el.get("href")
-            if href and "tong-quan" in href and href not in seen:
-                seen.add(href)
-                out.append(href)
+    # parse-time tag index (document order) when the root carries one;
+    # subtree roots fall back to the walk
+    anchors = (root.tag_index.get("a", ()) if root.tag_index is not None
+               else (el for el in root.iter() if el.tag == "a"))
+    for el in anchors:
+        href = el.get("href")
+        if href and "tong-quan" in href and href not in seen:
+            seen.add(href)
+            out.append(href)
     return out
 
 
