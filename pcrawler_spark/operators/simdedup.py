@@ -132,7 +132,7 @@ def _mh_seed_consts(seed: int) -> tuple[int, int]:
 
 
 def _minhash_wide(df: DataFrame, n_hashes: int, id_col: str, text_col: str,
-                  n: int) -> DataFrame:
+                  n: int, pre_repartition: bool = True) -> DataFrame:
     """doc → (_mh_0 .. _mh_{k-1}): all k minhashes in ONE groupBy — k
     conditional min-aggregations over the shingle relation instead of a
     k× seed explode (k× smaller pre-aggregation input, map-side combine
@@ -144,14 +144,20 @@ def _minhash_wide(df: DataFrame, n_hashes: int, id_col: str, text_col: str,
         # deployments may set the conf non-numeric (e.g. "auto" under
         # vendor AQE forks) — fall back to the cluster's parallelism
         n_part = spark.sparkContext.defaultParallelism
-    sh = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    sh = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    if pre_repartition:
         # explicit width: the explode below multiplies rows ~shingles-per-doc×,
         # so AQE's PRE-explode byte sizing must not coalesce this stage down
         # to a handful of tasks (repartition with an explicit count is exempt
-        # from AQE coalescing; measured 16-core md5 stage otherwise ran ~6-wide)
-        .repartition(n_part, "doc")
-        .select("doc", F.split(F.trim(F.col("_t")), " ").alias("_w"))
+        # from AQE coalescing; measured 16-core md5 stage otherwise ran ~6-wide).
+        # Callers whose input is ALREADY wide enough (e.g. a persisted corpus:
+        # cache partitioning ~ max(cores, size/advisory)) pass False — the
+        # groupBy's map-side partial agg makes the one exchange tiny either
+        # way, and skipping the text shuffle measured 5.6->4.7 s on the 194k-
+        # doc training corpus (r7).
+        sh = sh.repartition(n_part, "doc")
+    sh = (
+        sh.select("doc", F.split(F.trim(F.col("_t")), " ").alias("_w"))
         .select("doc", F.explode(_shingles_of(F.col("_w"), n)).alias("shingle"))
         .withColumn("h0", _h32(F.col("shingle")) % _MH_P)
     )
@@ -179,7 +185,7 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8,
 
 def minhash_bands(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
                   id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, pre_repartition: bool = True) -> DataFrame:
     """Per-doc LSH band rows (doc, band, mh_0..mh_{band_rows-1}) — the
     probe/store key set shared by the batch candidate join
     (:func:`minhash_lsh_candidates`) and the streaming incremental
@@ -187,7 +193,7 @@ def minhash_bands(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
     signature aggregation — one shuffle, no seed explode.  A trailing
     partial band (band_rows ∤ n_hashes) carries NULL in its missing slots,
     which never equi-join — identical to the per-seed formulation."""
-    wide = _minhash_wide(df, n_hashes, id_col, text_col, n)
+    wide = _minhash_wide(df, n_hashes, id_col, text_col, n, pre_repartition)
     n_bands = (n_hashes + band_rows - 1) // band_rows
     structs = []
     for b in range(n_bands):
@@ -227,7 +233,7 @@ def minhash_lsh_candidates(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
 
 def minhash_lsh_star_edges(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
                            id_col: str = "doc_id", text_col: str = "text",
-                           n: int = 3) -> DataFrame:
+                           n: int = 3, pre_repartition: bool = True) -> DataFrame:
     """Connectivity-preserving LSH edges for CLUSTERING: every band-bucket
     member is connected to the bucket's MIN doc — the transitive closure
     (and therefore the connected components / canonical docs downstream)
@@ -252,7 +258,8 @@ def minhash_lsh_star_edges(df: DataFrame, n_hashes: int = 8, band_rows: int = 2,
     only feed a clustering."""
     from pyspark.sql.window import Window
 
-    bands = minhash_bands(df, n_hashes, band_rows, id_col, text_col, n)
+    bands = minhash_bands(df, n_hashes, band_rows, id_col, text_col, n,
+                          pre_repartition)
     keys = ["band"] + [f"mh_{r}" for r in range(band_rows)]
     if n_hashes % band_rows:
         # the trailing partial band carries NULL in its missing slots;
