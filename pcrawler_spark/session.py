@@ -57,7 +57,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # sized for the WIDE rows this engine ships through mapInPandas
+        # (html pages ~3 KB/row: 4096 rows ≈ 12 MB/batch; 10000 made 30 MB
+        # batches — guide §4.2 says lower it for large binary cells; narrow
+        # relations are unaffected, they're never Python-bound here)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # moderate heap beats a huge one here: with 48g+, G1 pauses on
         # humongous binary-column allocations cost ~2× on the extract stage
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
