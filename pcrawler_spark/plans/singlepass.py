@@ -186,13 +186,18 @@ def schedule_decisions(
     and q34's decision-counts oracle branch call THIS function, so the
     production scheduler's decisions stay pinned by the driver's DuckDB
     parity gate as the plan evolves (round-5 judge item #4)."""
-    spark = pages_meta.sparkSession
     meta = classify_urls(pages_meta, directory_host).withColumn(
         "priority",
         F.when(F.col("kind") == "listing", 0).when(F.col("kind") == "detail", 1).otherwise(2),
     ).withColumn("retry_count", F.lit(0))
-    P = num_partitions or spark.sparkContext.defaultParallelism
-    meta = meta.repartition(P, "host")  # the scheduling chain's ONE exchange
+    # no pre-repartition (r7): politeness_decide's pending count is a
+    # partial-agg + broadcast join and its rank window — the only part
+    # needing host clustering — inserts its own exchange over the
+    # over-budget subset only, so on an all-under-budget frontier the
+    # whole scheduling decision runs map-side with ZERO exchanges of the
+    # frontier (was: one full repartition + a full-frontier window sort).
+    # num_partitions kept in the signature for callers that pin widths.
+    del num_partitions
     return politeness_decide(meta, hosts, epoch_seconds=epoch_seconds)
 
 
