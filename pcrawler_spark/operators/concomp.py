@@ -143,6 +143,17 @@ def _np_min_labels(u, v):
     ids, inv = np.unique(np.concatenate((u, v)), return_inverse=True)
     a = inv[: u.size]
     b_ = inv[u.size:]
+    # drop duplicate (a, b) pairs in index space before building the
+    # adjacency: the LSH star-edge stream repeats the same (root, member)
+    # pair once per agreeing band (~4x on the training corpus — 3.1M raw
+    # vs ~0.9M unique at 1.2M docs), and every duplicate pays full freight
+    # through the argsort + per-pass reduceat below.  ids.size is bounded
+    # by 2x the task budget (~8M) so the packed key fits int64 exactly;
+    # duplicates never change the components (r7 — the 4x4 weak-mode CC
+    # finish was the one non-flat stage of the pipeline decomposition).
+    key = np.unique(a * np.int64(ids.size) + b_)
+    a = key // ids.size
+    b_ = key % ids.size
     keys = np.concatenate((a, b_))
     others = np.concatenate((b_, a))
     order = np.argsort(keys, kind="stable")
